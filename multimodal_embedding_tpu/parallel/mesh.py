@@ -1,0 +1,48 @@
+"""Device mesh and sharding core.
+
+The reference is single-GPU (SURVEY.md §2.4: no torch.distributed / NCCL
+anywhere; DEVICE selection at reference main.py:92). On TPU the idiomatic
+scale-out for this workload is pure data parallelism over the ICI mesh:
+batches and retrieval-matrix rows are sharded along a ``data`` axis, model
+parameters are replicated (largest tower ~1GB bf16, far under v5e HBM), and
+XLA inserts the collectives.
+
+A second ``model`` axis is carried in the mesh signature for future tensor
+parallelism, sized 1 by default.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def get_mesh(n_data: int | None = None, n_model: int = 1, devices=None) -> Mesh:
+    """Build a (data, model) mesh over available devices.
+
+    ``n_data`` defaults to ``len(devices) // n_model``. Works identically for
+    real TPU chips and ``xla_force_host_platform_device_count`` CPU devices.
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    if n_data is None:
+        n_data = len(devices) // n_model
+    need = n_data * n_model
+    if need > len(devices):
+        raise ValueError(f"mesh ({n_data}x{n_model}) needs {need} devices, have {len(devices)}")
+    dev_array = np.asarray(devices[:need]).reshape(n_data, n_model)
+    return Mesh(dev_array, (DATA_AXIS, MODEL_AXIS))
+
+
+def data_sharding(mesh: Mesh, ndim: int = 1, axis: int = 0) -> NamedSharding:
+    """Shard dimension ``axis`` of an ndim-array along the data mesh axis."""
+    spec = [None] * ndim
+    spec[axis] = DATA_AXIS
+    return NamedSharding(mesh, P(*spec))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
