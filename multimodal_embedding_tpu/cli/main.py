@@ -1,0 +1,207 @@
+"""V29-statistical benchmark CLI — TPU-native.
+
+Preserves the reference ``main.py`` interface exactly (reference main.py:71-80):
+``--batch-size --workers --sample-size --bootstrap-iterations --output
+--cache-dir --models``, and the CSV schema ``{metric}_{mean,lower,upper,std}``
+x {T2I, I2T, I2T_Sym} x R@{1,5,10} + Time/QPS/Encoding_Time/Img_per_sec +
+_failure_analysis (reference main.py:643-665).
+
+TPU-specific additions (new flags, defaults preserve reference behavior):
+``--dataset {coco,flickr30k,synthetic}``, ``--debug-models`` (random-init
+towers for offline smoke runs), ``--seed``, ``--maxsim-impl``.
+
+Timing semantics: QPS = images / encoding_time, encode phase only (reference
+main.py:493-497). One deliberate deviation: XLA compilation happens during
+warmup BEFORE the timer starts — the reference's GPU warmup (main.py:536-547)
+is inside its timed window but costs ~1s; a 30s XLA compile would distort the
+throughput metric it is meant to capture.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import time
+
+import numpy as np
+import pandas as pd
+
+from ..analysis.failure import aggregate_failure_analysis
+from ..data.coco import load_benchmark_dataset
+from ..models.encode import EncodingEngine
+from ..models.registry import ModelInfo, get_models_to_test
+from ..models.zoo import LoadedModel, load_debug_model, load_model
+from ..parallel.mesh import get_mesh
+from ..retrieval.scoring import dense_scores, late_interaction_scores
+from ..stats.bootstrap import bootstrap_benchmark
+from ..stats.ci import bootstrap_confidence_interval
+from ..utils.logging import setup_logging
+from ..utils.memory import report_memory
+
+logger = logging.getLogger("mme_tpu")
+
+SEED = 42
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="Grand Slam Multimodal Benchmark V29 (Statistical) — TPU")
+    p.add_argument("--batch-size", type=int, default=32, help="Batch size for dense models")
+    p.add_argument("--workers", type=int, default=16, help="Download workers")
+    p.add_argument("--sample-size", type=int, default=5000,
+                   help="Number of COCO samples per bootstrap iteration")
+    p.add_argument("--bootstrap-iterations", type=int, default=1000,
+                   help="Number of bootstrap iterations")
+    p.add_argument("--output", type=str, default="benchmark_v29_statistical_results.csv",
+                   help="Output CSV file")
+    p.add_argument("--cache-dir", type=str, default="./coco_images", help="Image cache directory")
+    p.add_argument("--models", type=str, default="all",
+                   help="Comma-separated model names or 'all'")
+    # TPU-native extensions
+    p.add_argument("--dataset", type=str, default="coco",
+                   choices=["coco", "flickr30k", "synthetic"])
+    p.add_argument("--debug-models", action="store_true",
+                   help="Random-init small towers (offline smoke runs)")
+    p.add_argument("--seed", type=int, default=SEED)
+    p.add_argument("--maxsim-impl", type=str, default="auto", choices=["auto", "pallas", "xla"])
+    return p.parse_args(argv)
+
+
+def compute_score_matrices(
+    model: LoadedModel, engine: EncodingEngine, records: list[dict], maxsim_impl: str = "auto"
+):
+    """Encode once, build the two full score matrices (the bootstrap then
+    resamples on device). Returns (s_t2i [N,N], s_i2t [N,5N], encoding_time)."""
+    images = [r["image"] for r in records]
+    t2i_captions = [r["captions"][0] for r in records]  # T2I uses first caption
+    all_captions = [c for r in records for c in r["captions"][:5]]
+
+    t0 = time.perf_counter()
+    img = engine.encode_images(images)
+    txt_t2i = engine.encode_texts(t2i_captions)
+    txt_all = engine.encode_texts(all_captions)
+    encoding_time = time.perf_counter() - t0
+
+    if model.multi_vector:
+        s_t2i = late_interaction_scores(
+            txt_t2i.embeddings, img.embeddings, q_mask=txt_t2i.mask, impl=maxsim_impl
+        )
+        s_i2t = late_interaction_scores(
+            img.embeddings, txt_all.embeddings, d_mask=txt_all.mask, impl=maxsim_impl
+        )
+    else:
+        s_t2i = dense_scores(txt_t2i.embeddings, img.embeddings)
+        s_i2t = dense_scores(img.embeddings, txt_all.embeddings)
+    return s_t2i, s_i2t, encoding_time
+
+
+def run_bootstrap_benchmark(
+    model: LoadedModel,
+    records: list[dict],
+    n_iterations: int,
+    mesh,
+    batch_size: int = 32,
+    seed: int = SEED,
+    maxsim_impl: str = "auto",
+) -> dict:
+    """Encode-once / resample-many (reference main.py:478-667), on device."""
+    logger.info(f"Benchmarking {model.info.name} with {n_iterations} bootstrap iterations...")
+    n = len(records)
+    engine = EncodingEngine(model, mesh, batch_size=model.info.batch_size or batch_size)
+
+    logger.info("Warming up (XLA compile)...")
+    geoms = {r["image"].shape[:2] for r in records}
+    for g in geoms:
+        engine.warmup(g)
+
+    t_start = time.perf_counter()
+    s_t2i, s_i2t, encoding_time = compute_score_matrices(model, engine, records, maxsim_impl)
+    logger.info(f"Encoding+scoring completed in {encoding_time:.1f}s")
+    report_memory()
+
+    logger.info(f"Running {n_iterations} bootstrap iterations on device...")
+    out = bootstrap_benchmark(s_t2i, s_i2t, n_iterations, seed=seed)
+    total_time = time.perf_counter() - t_start
+
+    aggregated: dict = {"Model": model.info.name}
+    for key, values in out.metrics.items():
+        mean, lower, upper = bootstrap_confidence_interval(values)
+        aggregated[f"{key}_mean"] = mean
+        aggregated[f"{key}_lower"] = lower
+        aggregated[f"{key}_upper"] = upper
+        aggregated[f"{key}_std"] = float(np.std(values))
+
+    aggregated["Time"] = total_time
+    aggregated["QPS"] = n / encoding_time
+    aggregated["Encoding_Time"] = encoding_time
+    aggregated["Img_per_sec"] = n / encoding_time
+
+    t2i_captions = [r["captions"][0] for r in records]
+    failure = aggregate_failure_analysis(out.correct_r1, out.sample_idx, t2i_captions)
+    aggregated["_failure_analysis"] = json.dumps(failure)
+    aggregated["_bootstrap_metrics"] = {k: v for k, v in out.metrics.items()}
+    return aggregated
+
+
+def main(argv=None) -> int:
+    args = parse_args(argv)
+    setup_logging()
+    logger.info(f"BENCHMARK START (V29 STATISTICAL, TPU) - Output: {args.output}")
+    logger.info(f"Bootstrap iterations: {args.bootstrap_iterations}")
+
+    mesh = get_mesh()
+    logger.info(f"Device mesh: {dict(mesh.shape)} over {mesh.devices.size} devices")
+
+    records = load_benchmark_dataset(
+        args.dataset,
+        cache_dir=args.cache_dir,
+        workers=args.workers,
+        sample_size=args.sample_size,
+        seed=args.seed,
+    )
+    logger.info(f"Dataset: {len(records)} images, {5 * len(records)} captions")
+
+    final_results = []
+    for info in get_models_to_test(args.models, args.batch_size):
+        logger.info("=" * 60)
+        logger.info(f"EVALUATING: {info.name}")
+        logger.info("=" * 60)
+        try:
+            model = (
+                load_debug_model(info, seed=args.seed)
+                if args.debug_models
+                else load_model(info)
+            )
+        except Exception as e:
+            logger.error(f"Model load failed: {e}")
+            continue
+
+        try:
+            result = run_bootstrap_benchmark(
+                model,
+                records,
+                args.bootstrap_iterations,
+                mesh,
+                batch_size=args.batch_size,
+                seed=args.seed,
+                maxsim_impl=args.maxsim_impl,
+            )
+            result.pop("_bootstrap_metrics", None)
+            final_results.append(result)
+            pd.DataFrame(final_results).to_csv(args.output, index=False)
+            logger.info(f"Checkpoint saved to {args.output}")
+        except Exception as e:
+            logger.error(f"Evaluation failed for {info.name}: {e}")
+            import traceback
+
+            traceback.print_exc()
+        finally:
+            del model
+
+    logger.info("BENCHMARK COMPLETE!")
+    logger.info(f"Results saved to {args.output}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,166 @@
+"""Shared pure-functional transformer building blocks.
+
+Params are nested dicts of jnp arrays; per-layer weights are *stacked* along
+a leading layer axis and the encoder runs as a single ``lax.scan`` — one
+compiled layer body regardless of depth, which keeps XLA compile time flat
+for the ViT-H towers (32 layers) and lets the MXU see uniform matmul shapes.
+
+Numerics: matmuls run in the params dtype (bf16 on TPU) with float32
+accumulation (``preferred_element_type``); layernorm statistics and softmax
+run in float32. This mirrors the reference's torch bf16 autocast behavior
+(reference main.py:93) while keeping reductions exact.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+Params = dict[str, Any]
+
+
+# --- initializers -----------------------------------------------------------
+
+
+def linear_init(key, d_in: int, d_out: int, dtype=jnp.float32) -> Params:
+    kw, _ = jax.random.split(key)
+    scale = 1.0 / math.sqrt(d_in)
+    return {
+        "w": jax.random.uniform(kw, (d_in, d_out), dtype, -scale, scale),
+        "b": jnp.zeros((d_out,), dtype),
+    }
+
+
+def ln_init(dim: int, dtype=jnp.float32) -> Params:
+    return {"scale": jnp.ones((dim,), dtype), "bias": jnp.zeros((dim,), dtype)}
+
+
+# --- ops --------------------------------------------------------------------
+
+
+def linear(p: Params, x: jax.Array) -> jax.Array:
+    y = jnp.dot(x, p["w"], preferred_element_type=jnp.float32)
+    y = y + p["b"].astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def layer_norm(p: Params, x: jax.Array, eps: float = 1e-5) -> jax.Array:
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.var(xf, axis=-1, keepdims=True)
+    y = (xf - mu) * jax.lax.rsqrt(var + eps)
+    y = y * p["scale"].astype(jnp.float32) + p["bias"].astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def quick_gelu(x: jax.Array) -> jax.Array:
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
+ACTIVATIONS = {
+    "gelu": lambda x: jax.nn.gelu(x, approximate=False),
+    "quick_gelu": quick_gelu,
+    "gelu_pytorch_tanh": lambda x: jax.nn.gelu(x, approximate=True),
+}
+
+
+def mha(
+    p: Params,
+    x: jax.Array,
+    n_heads: int,
+    *,
+    kv: jax.Array | None = None,
+    causal: bool = False,
+    mask: jax.Array | None = None,
+) -> jax.Array:
+    """Multi-head attention with q/k/v/o projections.
+
+    x: [B, Tq, D]; kv (for cross attention): [B, Tk, D].
+    mask: [B, Tk] boolean key-validity mask (True = attend).
+    Softmax in float32.
+    """
+    kv = x if kv is None else kv
+    b, tq, d = x.shape
+    tk = kv.shape[1]
+    dh = d // n_heads
+
+    q = linear(p["q"], x).reshape(b, tq, n_heads, dh)
+    k = linear(p["k"], kv).reshape(b, tk, n_heads, dh)
+    v = linear(p["v"], kv).reshape(b, tk, n_heads, dh)
+
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
+    logits = logits / math.sqrt(dh)
+    if causal:
+        cm = jnp.tril(jnp.ones((tq, tk), bool))
+        logits = jnp.where(cm[None, None], logits, -jnp.inf)
+    if mask is not None:
+        logits = jnp.where(mask[:, None, None, :], logits, -jnp.inf)
+    attn = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
+    out = jnp.einsum("bhqk,bkhd->bqhd", attn, v, preferred_element_type=jnp.float32)
+    out = out.astype(x.dtype).reshape(b, tq, d)
+    return linear(p["o"], out)
+
+
+def mlp_block(p: Params, x: jax.Array, act: str) -> jax.Array:
+    h = linear(p["fc1"], x)
+    h = ACTIVATIONS[act](h.astype(jnp.float32)).astype(x.dtype)
+    return linear(p["fc2"], h)
+
+
+def encoder_layer(
+    p: Params, x: jax.Array, n_heads: int, act: str, *,
+    causal: bool = False, mask: jax.Array | None = None, ln_eps: float = 1e-5,
+) -> jax.Array:
+    """Pre-LN transformer layer (CLIP/SigLIP structure)."""
+    x = x + mha(p["attn"], layer_norm(p["ln1"], x, ln_eps), n_heads, causal=causal, mask=mask)
+    x = x + mlp_block(p["mlp"], layer_norm(p["ln2"], x, ln_eps), act)
+    return x
+
+
+def encoder_stack(
+    stacked: Params, x: jax.Array, n_heads: int, act: str, *,
+    causal: bool = False, mask: jax.Array | None = None, ln_eps: float = 1e-5,
+) -> jax.Array:
+    """Scan one compiled layer body over stacked per-layer params."""
+
+    def body(h, layer_p):
+        return encoder_layer(layer_p, h, n_heads, act, causal=causal, mask=mask, ln_eps=ln_eps), None
+
+    out, _ = jax.lax.scan(body, x, stacked)
+    return out
+
+
+def encoder_stack_init(key, n_layers: int, dim: int, mlp_dim: int, dtype=jnp.float32) -> Params:
+    """Random init of stacked encoder params (leading axis = layer)."""
+    keys = jax.random.split(key, n_layers)
+
+    def one(k):
+        ks = jax.random.split(k, 6)
+        return {
+            "ln1": ln_init(dim, dtype),
+            "attn": {
+                "q": linear_init(ks[0], dim, dim, dtype),
+                "k": linear_init(ks[1], dim, dim, dtype),
+                "v": linear_init(ks[2], dim, dim, dtype),
+                "o": linear_init(ks[3], dim, dim, dtype),
+            },
+            "ln2": ln_init(dim, dtype),
+            "mlp": {
+                "fc1": linear_init(ks[4], dim, mlp_dim, dtype),
+                "fc2": linear_init(ks[5], mlp_dim, dim, dtype),
+            },
+        }
+
+    layers = [one(k) for k in keys]
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
+
+
+def l2_normalize(x: jax.Array, axis: int = -1, eps: float = 0.0) -> jax.Array:
+    """L2 normalize in float32 (matches torch `x / x.norm(dim=-1, keepdim=True)`,
+    reference main.py:414)."""
+    xf = x.astype(jnp.float32)
+    n = jnp.linalg.norm(xf, axis=axis, keepdims=True)
+    return (xf / (n + eps)).astype(x.dtype)

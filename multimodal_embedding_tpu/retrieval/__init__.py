@@ -1,0 +1,12 @@
+from .scoring import dense_scores, late_interaction_scores
+from .metrics import ranks_from_scores, multi_target_ranks, recall_at_k, mrr, compute_metrics
+
+__all__ = [
+    "dense_scores",
+    "late_interaction_scores",
+    "ranks_from_scores",
+    "multi_target_ranks",
+    "recall_at_k",
+    "mrr",
+    "compute_metrics",
+]

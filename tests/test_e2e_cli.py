@@ -1,0 +1,52 @@
+"""End-to-end CLI smoke test: synthetic dataset, debug models, full pipeline
+through the reference CSV schema (the minimum end-to-end slice, SURVEY.md §7.2).
+"""
+
+import json
+
+import numpy as np
+import pandas as pd
+
+from multimodal_embedding_tpu.cli.main import main
+
+EXPECTED_METRICS = [
+    f"{proto}_R@{k}" for proto in ("T2I", "I2T", "I2T_Sym") for k in (1, 5, 10)
+]
+
+
+def test_cli_synthetic_end_to_end(tmp_path):
+    out = tmp_path / "results.csv"
+    rc = main(
+        [
+            "--dataset", "synthetic",
+            "--debug-models",
+            "--models", "OpenAI-CLIP-L,SigLIP-400M",
+            "--sample-size", "48",
+            "--bootstrap-iterations", "12",
+            "--batch-size", "16",
+            "--output", str(out),
+        ]
+    )
+    assert rc == 0
+    df = pd.read_csv(out)
+    assert list(df["Model"]) == ["OpenAI-CLIP-L", "SigLIP-400M"]
+
+    # exact reference CSV schema (reference main.py:643-665)
+    for m in EXPECTED_METRICS:
+        for suffix in ("_mean", "_lower", "_upper", "_std"):
+            assert f"{m}{suffix}" in df.columns, f"{m}{suffix} missing"
+    for col in ("Time", "QPS", "Encoding_Time", "Img_per_sec"):
+        assert col in df.columns
+
+    row = df.iloc[0]
+    for m in EXPECTED_METRICS:
+        assert 0.0 <= row[f"{m}_mean"] <= 100.0
+        assert row[f"{m}_lower"] <= row[f"{m}_mean"] + 1e-6
+        assert row[f"{m}_mean"] <= row[f"{m}_upper"] + 1e-6
+    # random-weight model on 48 images: R@10 must beat R@1, recall monotone in k
+    assert row["T2I_R@10_mean"] >= row["T2I_R@1_mean"]
+    assert row["QPS"] > 0
+
+    fa = json.loads(row["_failure_analysis"])
+    assert "overall_accuracy" in fa
+    assert "accuracy_by_category" in fa
