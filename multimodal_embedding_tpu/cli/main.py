@@ -29,7 +29,7 @@ import pandas as pd
 
 from ..analysis.failure import aggregate_failure_analysis
 from ..data.coco import load_benchmark_dataset
-from ..models.encode import EncodingEngine
+from ..models.encode import DeviceImageCache, EncodingEngine, stage_images
 from ..models.registry import ModelInfo, get_models_to_test
 from ..models.zoo import LoadedModel, load_debug_model, load_model
 from ..parallel.mesh import get_mesh
@@ -64,20 +64,30 @@ def parse_args(argv=None):
                    help="Random-init small towers (offline smoke runs)")
     p.add_argument("--seed", type=int, default=SEED)
     p.add_argument("--maxsim-impl", type=str, default="auto", choices=["auto", "pallas", "xla"])
+    p.add_argument("--transport", type=str, default="auto", choices=["auto", "host", "device"],
+                   help="Image transport: on-device resize vs host PIL resize")
+    p.add_argument("--device-cache", action=argparse.BooleanOptionalAction, default=True,
+                   help="Stage raw images to device HBM once, shared across models")
     return p.parse_args(argv)
 
 
 def compute_score_matrices(
-    model: LoadedModel, engine: EncodingEngine, records: list[dict], maxsim_impl: str = "auto"
+    model: LoadedModel,
+    engine: EncodingEngine,
+    records: list[dict],
+    maxsim_impl: str = "auto",
+    cache: DeviceImageCache | None = None,
 ):
     """Encode once, build the two full score matrices (the bootstrap then
     resamples on device). Returns (s_t2i [N,N], s_i2t [N,5N], encoding_time)."""
-    images = [r["image"] for r in records]
     t2i_captions = [r["captions"][0] for r in records]  # T2I uses first caption
     all_captions = [c for r in records for c in r["captions"][:5]]
 
     t0 = time.perf_counter()
-    img = engine.encode_images(images)
+    if cache is not None:
+        img = engine.encode_images_cached(cache)
+    else:
+        img = engine.encode_images([r["image"] for r in records])
     txt_t2i = engine.encode_texts(t2i_captions)
     txt_all = engine.encode_texts(all_captions)
     encoding_time = time.perf_counter() - t0
@@ -103,19 +113,28 @@ def run_bootstrap_benchmark(
     batch_size: int = 32,
     seed: int = SEED,
     maxsim_impl: str = "auto",
+    transport: str = "auto",
+    cache: DeviceImageCache | None = None,
 ) -> dict:
     """Encode-once / resample-many (reference main.py:478-667), on device."""
     logger.info(f"Benchmarking {model.info.name} with {n_iterations} bootstrap iterations...")
     n = len(records)
-    engine = EncodingEngine(model, mesh, batch_size=model.info.batch_size or batch_size)
+    engine = EncodingEngine(
+        model, mesh, batch_size=model.info.batch_size or batch_size, transport=transport
+    )
 
     logger.info("Warming up (XLA compile)...")
-    geoms = {r["image"].shape[:2] for r in records}
-    for g in geoms:
-        engine.warmup(g)
+    if cache is not None:
+        engine.encode_images_cached(cache)  # compile + first pass
+        engine.warmup(next(iter({r["image"].shape[:2] for r in records})), images=False)
+    else:
+        for g in {r["image"].shape[:2] for r in records}:
+            engine.warmup(g)
 
     t_start = time.perf_counter()
-    s_t2i, s_i2t, encoding_time = compute_score_matrices(model, engine, records, maxsim_impl)
+    s_t2i, s_i2t, encoding_time = compute_score_matrices(
+        model, engine, records, maxsim_impl, cache=cache
+    )
     logger.info(f"Encoding+scoring completed in {encoding_time:.1f}s")
     report_memory()
 
@@ -161,6 +180,14 @@ def main(argv=None) -> int:
     )
     logger.info(f"Dataset: {len(records)} images, {5 * len(records)} captions")
 
+    cache: DeviceImageCache | None = None
+    if args.device_cache:
+        cache = stage_images([r["image"] for r in records], mesh, args.batch_size)
+        logger.info(
+            f"Staged {cache.n_images} raw images to device HBM in "
+            f"{cache.stage_seconds:.1f}s (one-time, shared by all models)"
+        )
+
     final_results = []
     for info in get_models_to_test(args.models, args.batch_size):
         logger.info("=" * 60)
@@ -185,6 +212,8 @@ def main(argv=None) -> int:
                 batch_size=args.batch_size,
                 seed=args.seed,
                 maxsim_impl=args.maxsim_impl,
+                transport=args.transport,
+                cache=cache,
             )
             result.pop("_bootstrap_metrics", None)
             final_results.append(result)

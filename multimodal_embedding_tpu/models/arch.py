@@ -1,0 +1,72 @@
+"""Full-scale architecture configs for the seven benchmark models.
+
+Used when checkpoint weights are unavailable (offline benches, compile
+checks): the *architecture* — and therefore the performance envelope — is
+exactly that of the HF checkpoints the reference loads (main.py:129-137);
+only the weights are random. When checkpoints are present, configs are read
+from the checkpoint's config.json instead (models/convert.py) — these tables
+are not used for correctness paths.
+
+Sources: HF config.json of each model id.
+"""
+
+from __future__ import annotations
+
+from .towers import DualEncoderConfig, TextConfig, VisionConfig
+
+
+def _clip(
+    *, img: int, v_dim: int, v_layers: int, v_heads: int, v_mlp: int, patch: int,
+    t_dim: int, t_layers: int, t_heads: int, t_mlp: int, proj: int, act: str,
+) -> DualEncoderConfig:
+    return DualEncoderConfig(
+        vision=VisionConfig(
+            image_size=img, patch_size=patch, dim=v_dim, layers=v_layers, heads=v_heads,
+            mlp_dim=v_mlp, proj_dim=proj, style="clip", act=act,
+        ),
+        text=TextConfig(
+            vocab_size=49408, max_len=77, dim=t_dim, layers=t_layers, heads=t_heads,
+            mlp_dim=t_mlp, proj_dim=proj, style="clip", act=act, eos_token_id=2,
+        ),
+        family="clip",
+    )
+
+
+def _vit_h(img: int, act: str) -> DualEncoderConfig:
+    return _clip(
+        img=img, v_dim=1280, v_layers=32, v_heads=16, v_mlp=5120, patch=14,
+        t_dim=1024, t_layers=24, t_heads=16, t_mlp=4096, proj=1024, act=act,
+    )
+
+
+_SIGLIP_400M = DualEncoderConfig(
+    vision=VisionConfig(
+        image_size=384, patch_size=14, dim=1152, layers=27, heads=16, mlp_dim=4304,
+        proj_dim=None, style="siglip", act="gelu_pytorch_tanh", ln_eps=1e-6,
+    ),
+    text=TextConfig(
+        vocab_size=32000, max_len=64, dim=1152, layers=27, heads=16, mlp_dim=4304,
+        proj_dim=1152, style="siglip", act="gelu_pytorch_tanh", ln_eps=1e-6,
+    ),
+    family="siglip",
+)
+
+FULL_ARCH_CONFIGS: dict[str, DualEncoderConfig] = {
+    # openai/clip-vit-large-patch14-336
+    "OpenAI-CLIP-L": _clip(
+        img=336, v_dim=1024, v_layers=24, v_heads=16, v_mlp=4096, patch=14,
+        t_dim=768, t_layers=12, t_heads=12, t_mlp=3072, proj=768, act="quick_gelu",
+    ),
+    # laion/CLIP-ViT-H-14-laion2B-s32B-b79K (open_clip -> gelu)
+    "LAION-CLIP-H": _vit_h(224, "gelu"),
+    # facebook/metaclip-h14-fullcc2.5b (OpenAI arch -> quick_gelu)
+    "MetaCLIP-H14": _vit_h(224, "quick_gelu"),
+    # apple/DFN5B-CLIP-ViT-H-14-378 (open_clip -> gelu)
+    "Apple-DFN5B-H": _vit_h(378, "gelu"),
+    # google/siglip-so400m-patch14-384
+    "SigLIP-400M": _SIGLIP_400M,
+}
+
+
+def full_arch_config(name: str) -> DualEncoderConfig:
+    return FULL_ARCH_CONFIGS[name]

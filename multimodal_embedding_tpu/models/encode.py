@@ -20,6 +20,7 @@ token mask instead of pooled vectors.
 from __future__ import annotations
 
 import time
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass
 
 import numpy as np
@@ -27,10 +28,27 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh
 
-from ..ops.preprocess import make_preprocess_fn
+from ..ops.preprocess import host_resize_crop, make_normalize_fn, make_preprocess_fn
 from ..parallel.mesh import data_sharding, replicated_sharding
+from ..utils.timing import hard_sync
 from .layers import l2_normalize
 from .zoo import LoadedModel
+
+_put_bandwidth_cache: list[float] = []
+
+
+def measure_put_bandwidth_mbps(nbytes: int = 8 << 20) -> float:
+    """Rough host->device transfer bandwidth (cached per process). Used to
+    pick the image transport: remote/tunneled devices can be <100 MB/s, a
+    co-located PCIe host is GB/s."""
+    if not _put_bandwidth_cache:
+        buf = np.zeros(nbytes, np.uint8)
+        jax.block_until_ready(jax.device_put(buf))  # warm allocator
+        t0 = time.perf_counter()
+        jax.block_until_ready(jax.device_put(buf))
+        dt = time.perf_counter() - t0
+        _put_bandwidth_cache.append(nbytes / dt / 1e6)
+    return _put_bandwidth_cache[0]
 
 
 @dataclass
@@ -40,26 +58,100 @@ class EncodeResult:
     seconds: float
 
 
+@dataclass
+class DeviceImageCache:
+    """Raw uint8 images staged in device HBM, grouped by native geometry and
+    pre-batched: each group is a [n_batches, B, H, W, 3] batch-sharded array.
+
+    The reference caches downloaded images on local disk so the 7-model loop
+    re-reads them per model (reference main.py:176-182); here the equivalent
+    staging ships them over the host link ONCE, and every model's
+    preprocess+encode runs from HBM with zero per-model host traffic. 5k COCO
+    natives are ~4.6 GB — comfortably inside a v5e chip's HBM.
+    """
+
+    groups: list[tuple[tuple[int, int], list[int], jax.Array, int]]
+    # (geometry, original indices, [nb, B, H, W, 3] device array, valid count)
+    batch_size: int
+    n_images: int
+    stage_seconds: float
+
+
+def stage_images(
+    images: list[np.ndarray], mesh: Mesh, batch_size: int
+) -> DeviceImageCache:
+    """One-time host->device staging of native uint8 images."""
+    t0 = time.perf_counter()
+    n_data = mesh.shape["data"]
+    batch_size = max(batch_size, n_data) // n_data * n_data
+    groups_idx: dict[tuple[int, int], list[int]] = {}
+    for i, im in enumerate(images):
+        groups_idx.setdefault(im.shape[:2], []).append(i)
+
+    sharding = data_sharding(mesh, ndim=5, axis=1)
+    groups = []
+    for (h, w), idxs in groups_idx.items():
+        count = len(idxs)
+        nb = -(-count // batch_size)
+        # NCHW on the wire and in HBM: TPU tiling pads the trailing dim to
+        # 128 lanes, so [..., 3] would inflate HBM footprint ~42x
+        buf = np.empty((nb * batch_size, 3, h, w), np.uint8)
+        for j, i in enumerate(idxs):
+            buf[j] = images[i].transpose(2, 0, 1)
+        if nb * batch_size > count:  # pad with repeats of the last image
+            buf[count:] = buf[count - 1]
+        dev = jax.device_put(buf.reshape(nb, batch_size, 3, h, w), sharding)
+        groups.append(((h, w), idxs, dev, count))
+    from ..utils.timing import hard_sync as _hs
+    _hs([g[2] for g in groups])
+    return DeviceImageCache(
+        groups=groups,
+        batch_size=batch_size,
+        n_images=len(images),
+        stage_seconds=time.perf_counter() - t0,
+    )
+
+
 class EncodingEngine:
-    def __init__(self, model: LoadedModel, mesh: Mesh, batch_size: int = 32):
+    """transport: 'device' resizes on-device from native-geometry uint8 (the
+    fast path on co-located hosts); 'host' does PIL resize+crop on host
+    threads and ships crop-sized uint8 (wins when host->device bandwidth is
+    scarce — both paths are PIL-parity); 'auto' picks by measured bandwidth.
+    """
+
+    def __init__(
+        self,
+        model: LoadedModel,
+        mesh: Mesh,
+        batch_size: int = 32,
+        transport: str = "auto",
+        host_workers: int = 16,
+    ):
         self.model = model
         self.mesh = mesh
         n_data = mesh.shape["data"]
         self.batch_size = max(batch_size, n_data) // n_data * n_data
         self.params = jax.device_put(model.params, replicated_sharding(mesh))
+        if transport == "auto":
+            transport = "host" if measure_put_bandwidth_mbps() < 1000.0 else "device"
+        self.transport = transport
+        self.host_workers = host_workers
 
         self._img_fn = jax.jit(lambda params, px: l2_normalize(model_image_fwd(model, params, px)))
         self._txt_fn = jax.jit(
             lambda params, ids, mask: l2_normalize(model_text_fwd(model, params, ids, mask))
         )
         self._pre_fns: dict[tuple[int, int], any] = {}
+        self._norm_fn = jax.jit(make_normalize_fn(model.preprocess))
 
     # --- internals ---
 
     def _preprocess_fn(self, h: int, w: int):
         key = (h, w)
         if key not in self._pre_fns:
-            self._pre_fns[key] = jax.jit(make_preprocess_fn(self.model.preprocess, h, w))
+            self._pre_fns[key] = jax.jit(
+                make_preprocess_fn(self.model.preprocess, h, w, input_format="nchw")
+            )
         return self._pre_fns[key]
 
     def _geometry_batches(self, images: list[np.ndarray]):
@@ -80,22 +172,83 @@ class EncodingEngine:
         n = len(images)
         shard_in = data_sharding(self.mesh, ndim=4, axis=0)
         out_chunks: list[tuple[list[int], jax.Array]] = []
-        for (h, w), idxs in self._geometry_batches(images):
-            batch = np.stack([images[i] for i in idxs])
-            pad = self.batch_size - batch.shape[0]
-            if pad:
-                batch = np.concatenate([batch, np.repeat(batch[-1:], pad, axis=0)])
-            dev = jax.device_put(batch, shard_in)
-            px = self._preprocess_fn(h, w)(dev)
-            emb = self._img_fn(self.params, px)
-            if pad:
-                emb = emb[: len(idxs)]
-            out_chunks.append((idxs, emb))
+
+        if self.transport == "host":
+            order = list(range(n))
+            batches = [order[s : s + self.batch_size] for s in range(0, n, self.batch_size)]
+
+            # per-image futures: the first batch is ready after batch_size
+            # single-image resizes across all workers (not one worker running
+            # a whole batch), so transfers start early and PIL work, link
+            # transfers, and TPU compute overlap
+            with ThreadPoolExecutor(max_workers=self.host_workers) as ex:
+                futs = [
+                    ex.submit(host_resize_crop, self.model.preprocess, images[i]) for i in order
+                ]
+                for idxs in batches:
+                    batch = np.stack([futs[i].result() for i in idxs]).transpose(0, 3, 1, 2)
+                    pad = self.batch_size - batch.shape[0]
+                    if pad:
+                        batch = np.concatenate([batch, np.repeat(batch[-1:], pad, axis=0)])
+                    dev = jax.device_put(batch, shard_in)
+                    emb = self._img_fn(self.params, self._norm_fn(dev))
+                    if pad:
+                        emb = emb[: len(idxs)]
+                    out_chunks.append((idxs, emb))
+        else:
+            for (h, w), idxs in self._geometry_batches(images):
+                batch = np.stack([images[i] for i in idxs]).transpose(0, 3, 1, 2)
+                pad = self.batch_size - batch.shape[0]
+                if pad:
+                    batch = np.concatenate([batch, np.repeat(batch[-1:], pad, axis=0)])
+                dev = jax.device_put(batch, shard_in)
+                px = self._preprocess_fn(h, w)(dev)
+                emb = self._img_fn(self.params, px)
+                if pad:
+                    emb = emb[: len(idxs)]
+                out_chunks.append((idxs, emb))
+
         dim_rest = out_chunks[0][1].shape[1:]
         out = jnp.zeros((n, *dim_rest), out_chunks[0][1].dtype)
         for idxs, emb in out_chunks:
             out = out.at[jnp.asarray(idxs)].set(emb)
-        out = jax.block_until_ready(out)
+        out = hard_sync(out)
+        return EncodeResult(out, None, time.perf_counter() - t0)
+
+    def encode_images_cached(self, cache: DeviceImageCache) -> EncodeResult:
+        """Encode from a device-resident image cache: per geometry group, one
+        jitted ``lax.scan`` over batches doing preprocess + encode entirely on
+        device — a single dispatch per group, no host traffic."""
+        t0 = time.perf_counter()
+        out_chunks: list[tuple[list[int], jax.Array]] = []
+        for (h, w), idxs, dev, count in cache.groups:
+            key = ("cached", h, w, dev.shape[0])
+            if key not in self._pre_fns:
+                pre = make_preprocess_fn(self.model.preprocess, h, w, input_format="nchw")
+                model = self.model
+                b2 = self.batch_size  # rebatch on device to this model's batch
+
+                def group_fn(params, batches):
+                    nb, b = batches.shape[:2]
+                    if b != b2 and (nb * b) % b2 == 0:
+                        batches = batches.reshape(nb * b // b2, b2, *batches.shape[2:])
+
+                    def body(_, batch_u8):
+                        px = pre(batch_u8)
+                        return None, l2_normalize(model_image_fwd(model, params, px))
+
+                    _, embs = jax.lax.scan(body, None, batches)
+                    return embs.reshape(-1, *embs.shape[2:])
+
+                self._pre_fns[key] = jax.jit(group_fn)
+            emb = self._pre_fns[key](self.params, dev)[:count]
+            out_chunks.append((idxs, emb))
+
+        dim_rest = out_chunks[0][1].shape[1:]
+        out = jnp.zeros((cache.n_images, *dim_rest), out_chunks[0][1].dtype)
+        for idxs, emb in out_chunks:
+            out = out.at[jnp.asarray(idxs)].set(emb)
+        out = hard_sync(out)
         return EncodeResult(out, None, time.perf_counter() - t0)
 
     def encode_texts(self, texts: list[str]) -> EncodeResult:
@@ -128,17 +281,19 @@ class EncodingEngine:
                 mask_chunks.append(bmask_d)
         out = jnp.concatenate(chunks, axis=0)
         out_mask = jnp.concatenate(mask_chunks, axis=0) if mask_chunks else None
-        out = jax.block_until_ready(out)
+        out = hard_sync(out)
         return EncodeResult(out, out_mask, time.perf_counter() - t0)
 
-    def warmup(self, image_geom: tuple[int, int] = (256, 256)) -> None:
+    def warmup(
+        self, image_geom: tuple[int, int] = (256, 256), images: bool = True, texts: bool = True
+    ) -> None:
         """Compile preprocess/encode graphs before timing (reference
         main.py:536-547's GPU warmup)."""
         h, w = image_geom
-        dummy_imgs = [np.zeros((h, w, 3), np.uint8)] * 2
-        dummy_txts = ["a warmup caption"] * 2
-        self.encode_images(dummy_imgs)
-        self.encode_texts(dummy_txts)
+        if images:
+            self.encode_images([np.zeros((h, w, 3), np.uint8)] * 2)
+        if texts:
+            self.encode_texts(["a warmup caption"] * 2)
 
 
 def model_image_fwd(model: LoadedModel, params, pixels: jax.Array) -> jax.Array:

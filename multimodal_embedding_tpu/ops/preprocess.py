@@ -141,8 +141,16 @@ def _cropped_weights(cfg: PreprocessConfig, h: int, w: int) -> tuple[np.ndarray,
     return wv[top : top + c], wh[left : left + c]
 
 
-def make_preprocess_fn(cfg: PreprocessConfig, h: int, w: int, *, pil_rounding: bool = True):
-    """Build a jittable fn: uint8 [B,h,w,3] -> float32 [B,C,C,3] normalized.
+def make_preprocess_fn(
+    cfg: PreprocessConfig, h: int, w: int, *, pil_rounding: bool = True,
+    input_format: str = "nhwc",
+):
+    """Build a jittable fn: uint8 [B,h,w,3] (or [B,3,h,w] with
+    input_format='nchw') -> float32 [B,C,C,3] normalized.
+
+    NCHW is the on-device/wire layout of choice: TPU tiling pads the trailing
+    dimension to 128 lanes, so a trailing C=3 axis inflates HBM footprint and
+    bandwidth ~42x. All internal compute is channels-first.
 
     The two resize contractions run in float32 on the MXU; rescale and
     mean/std normalization are folded into a single scale/shift that XLA
@@ -164,17 +172,65 @@ def make_preprocess_fn(cfg: PreprocessConfig, h: int, w: int, *, pil_rounding: b
         return jnp.clip(jnp.round(x), 0.0, 255.0)
 
     def fn(images_u8: jax.Array) -> jax.Array:
-        x = images_u8.astype(jnp.float32)  # [B,h,w,3]
+        # channels-first internally so both resize contractions keep a large
+        # spatial axis in the 128-lane dimension
+        if input_format == "nchw":
+            x = images_u8.astype(jnp.float32)  # [B,3,h,w]
+        else:
+            x = jnp.transpose(images_u8, (0, 3, 1, 2)).astype(jnp.float32)
         wv = jnp.asarray(wv_np)
         wh = jnp.asarray(wh_np)
         # horizontal pass (contract w), then vertical (contract h) — PIL order
-        x = jnp.einsum("pw,bhwc->bhpc", wh, x, preferred_element_type=jnp.float32)
+        x = jnp.einsum("bchw,wp->bchp", x, wh.T, preferred_element_type=jnp.float32)
         if pil_rounding:
             x = _quant(x)
-        x = jnp.einsum("oh,bhpc->bopc", wv, x, preferred_element_type=jnp.float32)
+        x = jnp.einsum("bchp,ho->bcop", x, wv.T, preferred_element_type=jnp.float32)
         if pil_rounding:
             x = _quant(x)
-        return x * scale + shift
+        x = x * scale[None, :, None, None] + shift[None, :, None, None]
+        return jnp.transpose(x, (0, 2, 3, 1))  # [B,C,C,3] NHWC
+
+    return fn
+
+
+_PIL_RESAMPLE = {"bicubic": 3, "bilinear": 2}  # PIL.Image.BICUBIC / BILINEAR
+
+
+def host_resize_crop(cfg: PreprocessConfig, img: "np.ndarray") -> "np.ndarray":
+    """PIL resize + center crop on the host -> uint8 [C, C, 3].
+
+    Bit-identical to the HF processor's geometry stage. Used by the
+    ``host`` transport mode of the encoding engine when host->device
+    bandwidth is the bottleneck (shipping crop-sized uint8 instead of the
+    native image is ~3x fewer bytes); normalization still happens on device.
+    """
+    from PIL import Image
+
+    h, w = img.shape[:2]
+    rh, rw = cfg.resize_target(h, w)
+    pil = Image.fromarray(img)
+    if (rh, rw) != (h, w):
+        pil = pil.resize((rw, rh), resample=_PIL_RESAMPLE[cfg.interpolation])
+    c = cfg.image_size
+    top = (rh - c) // 2
+    left = (rw - c) // 2
+    return np.asarray(pil)[top : top + c, left : left + c]
+
+
+def make_normalize_fn(cfg: PreprocessConfig, input_format: str = "nchw"):
+    """Device normalize-only fn for host-resized uint8.
+
+    Input [B, 3, C, C] NCHW by default (the layout shipped over the wire —
+    see make_preprocess_fn on TPU lane padding); output [B, C, C, 3] NHWC.
+    """
+    scale = (cfg.rescale / np.asarray(cfg.std, np.float32)).astype(np.float32)
+    shift = (-np.asarray(cfg.mean, np.float32) / np.asarray(cfg.std, np.float32)).astype(np.float32)
+
+    def fn(images_u8: jax.Array) -> jax.Array:
+        if input_format == "nchw":
+            x = images_u8.astype(jnp.float32) * scale[None, :, None, None] + shift[None, :, None, None]
+            return jnp.transpose(x, (0, 2, 3, 1))
+        return images_u8.astype(jnp.float32) * scale + shift
 
     return fn
 

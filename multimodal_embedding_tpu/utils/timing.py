@@ -42,3 +42,20 @@ def block_until_ready_timed(fn: Callable[..., Any], *args: Any, **kwargs: Any) -
     out = fn(*args, **kwargs)
     out = jax.block_until_ready(out)
     return out, time.perf_counter() - t0
+
+
+def hard_sync(x: Any) -> Any:
+    """Genuinely wait for device work feeding ``x`` to finish.
+
+    ``jax.block_until_ready`` returns immediately on some remote/tunneled
+    platforms (observed on 'axon'); reading one element back to the host is
+    the only reliable barrier. Use around timed regions only — it costs one
+    tiny device->host transfer.
+    """
+    x = jax.block_until_ready(x)
+    leaves = [l for l in jax.tree.leaves(x) if hasattr(l, "ravel") and l.size > 0]
+    if leaves:
+        import numpy as np
+
+        np.asarray(jax.device_get(leaves[0].ravel()[0]))
+    return x
