@@ -53,6 +53,8 @@ class VisionConfig:
     style: Style = "clip"
     act: str = "quick_gelu"
     ln_eps: float = 1e-5
+    use_head: bool = True  # siglip only: False => return the full post-LN
+    # patch sequence [B, N, D] (PaliGemma's headless vision tower)
 
     @property
     def n_patches(self) -> int:
@@ -120,6 +122,8 @@ def vision_tower_apply(params: Params, cfg: VisionConfig, pixels: jax.Array) -> 
 
     # siglip: post-LN over all tokens, then MAP attention-pooling head
     x = layer_norm(params["post_ln"], x, cfg.ln_eps)
+    if not cfg.use_head:
+        return x  # [B, N, D] patch sequence (PaliGemma vision tower)
     head = params["head"]
     probe = jnp.broadcast_to(head["probe"], (x.shape[0], 1, cfg.dim)).astype(dtype)
     h = mha(head["attn"], probe, cfg.heads, kv=x)
@@ -145,6 +149,8 @@ def vision_tower_init(key, cfg: VisionConfig, dtype=jnp.float32) -> Params:
         p["proj"] = jax.random.normal(ks[4], (cfg.dim, cfg.proj_dim), dtype) * cfg.dim**-0.5
     else:
         p["patch"]["b"] = jnp.zeros((cfg.dim,), dtype)
+        if not cfg.use_head:
+            return p
         hk = jax.random.split(ks[5], 6)
         p["head"] = {
             "probe": jax.random.normal(hk[0], (1, 1, cfg.dim), dtype) * 0.02,

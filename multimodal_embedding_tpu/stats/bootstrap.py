@@ -131,7 +131,8 @@ def bootstrap_benchmark(
         return carry, (jnp.stack(mets), correct_r1, idx.astype(jnp.int32))
 
     _, (met_arr, correct, idxs) = jax.lax.scan(step, None, jnp.arange(n_iterations))
-    met_arr = np.asarray(jax.block_until_ready(met_arr))
+    # f32 accumulation can land epsilon outside [0, 100]
+    met_arr = np.clip(np.asarray(jax.block_until_ready(met_arr)), 0.0, 100.0)
 
     names = (
         [f"T2I_R@{k}" for k in ks] + [f"I2T_R@{k}" for k in ks] + [f"I2T_Sym_R@{k}" for k in ks]

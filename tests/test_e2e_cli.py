@@ -50,3 +50,24 @@ def test_cli_synthetic_end_to_end(tmp_path):
     fa = json.loads(row["_failure_analysis"])
     assert "overall_accuracy" in fa
     assert "accuracy_by_category" in fa
+
+
+def test_cli_colpali_end_to_end(tmp_path):
+    """Multi-vector late-interaction path through the full pipeline."""
+    out = tmp_path / "colpali.csv"
+    rc = main(
+        [
+            "--dataset", "synthetic",
+            "--debug-models",
+            "--models", "ColPali-v1.3",
+            "--sample-size", "24",
+            "--bootstrap-iterations", "8",
+            "--output", str(out),
+        ]
+    )
+    assert rc == 0
+    df = pd.read_csv(out)
+    assert df.iloc[0]["Model"] == "ColPali-v1.3"
+    row = df.iloc[0]
+    for m in EXPECTED_METRICS:
+        assert 0.0 <= row[f"{m}_mean"] <= 100.0
