@@ -299,20 +299,24 @@ class EncodingEngine:
 def model_image_fwd(model: LoadedModel, params, pixels: jax.Array) -> jax.Array:
     """Dispatch to the family-specific forward. Split out so jit closes over
     static config only."""
-    if model.multi_vector:
-        from .colpali import colpali_image_fwd
-
-        return colpali_image_fwd(params, model.cfg, pixels)
+    from .colpali import ColPaliConfig, colpali_image_fwd
+    from .jina import JinaClipConfig, jina_image_fwd
     from .towers import encode_image
 
+    if isinstance(model.cfg, ColPaliConfig):
+        return colpali_image_fwd(params, model.cfg, pixels)
+    if isinstance(model.cfg, JinaClipConfig):
+        return jina_image_fwd(params, model.cfg, pixels)
     return encode_image(params, model.cfg, pixels)
 
 
 def model_text_fwd(model: LoadedModel, params, ids: jax.Array, mask) -> jax.Array:
-    if model.multi_vector:
-        from .colpali import colpali_text_fwd
-
-        return colpali_text_fwd(params, model.cfg, ids, mask)
+    from .colpali import ColPaliConfig, colpali_text_fwd
+    from .jina import JinaClipConfig, jina_text_fwd
     from .towers import encode_text
 
+    if isinstance(model.cfg, ColPaliConfig):
+        return colpali_text_fwd(params, model.cfg, ids, mask)
+    if isinstance(model.cfg, JinaClipConfig):
+        return jina_text_fwd(params, model.cfg, ids, mask)
     return encode_text(params, model.cfg, ids, mask)

@@ -188,6 +188,10 @@ def load_debug_model(info: ModelInfo, seed: int = 0, dtype=jnp.float32) -> Loade
         from .colpali import load_debug_colpali
 
         return load_debug_colpali(info, seed=seed, dtype=dtype)
+    if info.type == "jina":
+        from .jina import load_debug_jina
+
+        return load_debug_jina(info, seed=seed, dtype=dtype)
     cfg = debug_dual_config(info.type)
     params = dual_encoder_init(jax.random.key(seed), cfg, dtype)
     pre = PreprocessConfig(
