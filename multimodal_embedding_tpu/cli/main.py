@@ -189,6 +189,7 @@ def main(argv=None) -> int:
         )
 
     final_results = []
+    all_bootstrap: dict = {}
     for info in get_models_to_test(args.models, args.batch_size):
         logger.info("=" * 60)
         logger.info(f"EVALUATING: {info.name}")
@@ -215,7 +216,15 @@ def main(argv=None) -> int:
                 transport=args.transport,
                 cache=cache,
             )
-            result.pop("_bootstrap_metrics", None)
+            bootstrap_metrics = result.pop("_bootstrap_metrics", None)
+            if bootstrap_metrics:
+                all_bootstrap.update(
+                    {f"{info.name}::{k}": v for k, v in bootstrap_metrics.items()}
+                )
+                # sidecar with raw per-iteration samples -> the analyzer can
+                # run REAL permutation tests instead of the reference's
+                # CI-overlap approximation
+                np.savez_compressed(args.output + ".bootstrap.npz", **all_bootstrap)
             final_results.append(result)
             pd.DataFrame(final_results).to_csv(args.output, index=False)
             logger.info(f"Checkpoint saved to {args.output}")

@@ -1,0 +1,109 @@
+"""Report generator, analyzer CLI, Winoground, and v28 multi-seed runner."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from multimodal_embedding_tpu.cli.analyze import main as analyze_main
+from multimodal_embedding_tpu.cli.main import main as bench_main
+from multimodal_embedding_tpu.cli.multi_seed import main as v28_main
+
+
+@pytest.fixture(scope="module")
+def results_csv(tmp_path_factory):
+    out = tmp_path_factory.mktemp("res") / "results.csv"
+    rc = bench_main(
+        [
+            "--dataset", "synthetic", "--debug-models",
+            "--models", "OpenAI-CLIP-L,SigLIP-400M",
+            "--sample-size", "32", "--bootstrap-iterations", "10",
+            "--output", str(out),
+        ]
+    )
+    assert rc == 0
+    return out
+
+
+def test_analyzer_report(results_csv, tmp_path):
+    report = tmp_path / "report.md"
+    rc = analyze_main(["--input", str(results_csv), "--output", str(report)])
+    assert rc == 0
+    text = report.read_text()
+    assert "## Text-to-Image Retrieval" in text
+    assert "Statistical Significance Testing" in text
+    assert "permutation test on raw bootstrap samples" in text  # sidecar used
+    assert "Efficiency Score" in text
+    assert "Per-Category Performance" in text
+    # both models ranked
+    assert "OpenAI-CLIP-L" in text and "SigLIP-400M" in text
+
+
+def test_analyzer_without_sidecar(results_csv, tmp_path):
+    """No sidecar -> reference CI-overlap approximation path."""
+    csv2 = tmp_path / "no_sidecar.csv"
+    csv2.write_text(results_csv.read_text())
+    report = tmp_path / "report2.md"
+    rc = analyze_main(["--input", str(csv2), "--output", str(report)])
+    assert rc == 0
+    assert "CI-overlap approximation" in report.read_text()
+
+
+def test_v28_multi_seed_runner(tmp_path):
+    out = tmp_path / "v28.csv"
+    rc = v28_main(
+        [
+            "--dataset", "synthetic", "--debug-models",
+            "--models", "OpenAI-CLIP-L",
+            "--sample-size", "24", "--runs", "2",
+            "--winoground-samples", "12",
+            "--mrr",
+            "--output", str(out),
+        ]
+    )
+    assert rc == 0
+    df = pd.read_csv(out)
+    row = df.iloc[0]
+    assert row["Model"] == "OpenAI-CLIP-L"
+    # v28 CSV schema: Wino singles + "mean ± std" strings
+    for col in ["Wino Text", "Wino Image", "Wino Group"]:
+        assert col in df.columns
+    for col in ["T2I_R@1", "I2T_R@10", "QPS", "Img/s", "T2I_MRR"]:
+        assert "±" in str(row[col]), col
+
+
+def test_winoground_predicates():
+    """Hand-built score matrix: model prefers correct pairs for example 0
+    only."""
+    from multimodal_embedding_tpu.analysis.winoground import run_winoground
+
+    class FakeEngine:
+        class model:
+            multi_vector = False
+
+        # batching order: all image_0s, then all image_1s (same for captions)
+        def encode_images(self, images):
+            import jax.numpy as jnp
+
+            class R:
+                embeddings = jnp.asarray(np.array([[1.0, 0.0], [0.6, 0.8],
+                                                   [0.0, 1.0], [0.8, 0.6]]))
+            return R()
+
+        def encode_texts(self, texts):
+            import jax.numpy as jnp
+
+            class R:
+                embeddings = jnp.asarray(np.array([[1.0, 0.0], [0.8, 0.6],
+                                                   [0.0, 1.0], [0.6, 0.8]]))
+            return R()
+
+    records = [
+        {"image_0": None, "image_1": None, "caption_0": "a", "caption_1": "b"},
+        {"image_0": None, "image_1": None, "caption_0": "c", "caption_1": "d"},
+    ]
+    out = run_winoground(FakeEngine(), records)
+    # example 0 (identity pairing): all predicates hold; example 1: c0.i0 =
+    # 0.96 < c0.i1 = 1.0 -> text fails, and c1.i0 = 1.0 > c0.i0 -> image fails
+    assert out["Wino Text"] == 50.0
+    assert out["Wino Image"] == 50.0
+    assert out["Wino Group"] == 50.0
