@@ -62,12 +62,18 @@ def parse_args(argv=None):
                    choices=["coco", "flickr30k", "synthetic"])
     p.add_argument("--debug-models", action="store_true",
                    help="Random-init small towers (offline smoke runs)")
+    p.add_argument("--arch-models", action="store_true",
+                   help="Random-init towers at the FULL published architecture "
+                        "(perf runs without checkpoint access)")
     p.add_argument("--seed", type=int, default=SEED)
     p.add_argument("--maxsim-impl", type=str, default="auto", choices=["auto", "pallas", "xla"])
     p.add_argument("--transport", type=str, default="auto", choices=["auto", "host", "device"],
                    help="Image transport: on-device resize vs host PIL resize")
     p.add_argument("--device-cache", action=argparse.BooleanOptionalAction, default=True,
                    help="Stage raw images to device HBM once, shared across models")
+    p.add_argument("--score-cache-dir", type=str, default=None,
+                   help="Persist/resume encoded score matrices (skip re-encoding "
+                        "on reruns of the same model+dataset)")
     return p.parse_args(argv)
 
 
@@ -115,26 +121,44 @@ def run_bootstrap_benchmark(
     maxsim_impl: str = "auto",
     transport: str = "auto",
     cache: DeviceImageCache | None = None,
+    score_cache_dir: str | None = None,
 ) -> dict:
     """Encode-once / resample-many (reference main.py:478-667), on device."""
     logger.info(f"Benchmarking {model.info.name} with {n_iterations} bootstrap iterations...")
     n = len(records)
-    engine = EncodingEngine(
-        model, mesh, batch_size=model.info.batch_size or batch_size, transport=transport
-    )
 
-    logger.info("Warming up (XLA compile)...")
-    if cache is not None:
-        engine.encode_images_cached(cache)  # compile + first pass
-        engine.warmup(next(iter({r["image"].shape[:2] for r in records})), images=False)
-    else:
-        for g in {r["image"].shape[:2] for r in records}:
-            engine.warmup(g)
+    cached_scores = None
+    if score_cache_dir:
+        from ..stats.score_cache import load_scores
+
+        cached_scores = load_scores(score_cache_dir, model.info.name, records)
 
     t_start = time.perf_counter()
-    s_t2i, s_i2t, encoding_time = compute_score_matrices(
-        model, engine, records, maxsim_impl, cache=cache
-    )
+    if cached_scores is not None:
+        s_t2i, s_i2t, encoding_time = cached_scores
+        import jax.numpy as jnp
+
+        s_t2i, s_i2t = jnp.asarray(s_t2i), jnp.asarray(s_i2t)
+    else:
+        engine = EncodingEngine(
+            model, mesh, batch_size=model.info.batch_size or batch_size, transport=transport
+        )
+        logger.info("Warming up (XLA compile)...")
+        if cache is not None:
+            engine.encode_images_cached(cache)  # compile + first pass
+            engine.warmup(next(iter({r["image"].shape[:2] for r in records})), images=False)
+        else:
+            for g in {r["image"].shape[:2] for r in records}:
+                engine.warmup(g)
+
+        t_start = time.perf_counter()
+        s_t2i, s_i2t, encoding_time = compute_score_matrices(
+            model, engine, records, maxsim_impl, cache=cache
+        )
+        if score_cache_dir:
+            from ..stats.score_cache import save_scores
+
+            save_scores(score_cache_dir, model.info.name, records, s_t2i, s_i2t, encoding_time)
     logger.info(f"Encoding+scoring completed in {encoding_time:.1f}s")
     report_memory()
 
@@ -195,11 +219,14 @@ def main(argv=None) -> int:
         logger.info(f"EVALUATING: {info.name}")
         logger.info("=" * 60)
         try:
-            model = (
-                load_debug_model(info, seed=args.seed)
-                if args.debug_models
-                else load_model(info)
-            )
+            if args.debug_models:
+                model = load_debug_model(info, seed=args.seed)
+            elif args.arch_models:
+                from ..models.arch import load_arch_model
+
+                model = load_arch_model(info.name, seed=args.seed)
+            else:
+                model = load_model(info)
         except Exception as e:
             logger.error(f"Model load failed: {e}")
             continue
@@ -215,6 +242,7 @@ def main(argv=None) -> int:
                 maxsim_impl=args.maxsim_impl,
                 transport=args.transport,
                 cache=cache,
+                score_cache_dir=args.score_cache_dir,
             )
             bootstrap_metrics = result.pop("_bootstrap_metrics", None)
             if bootstrap_metrics:

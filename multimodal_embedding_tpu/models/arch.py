@@ -70,3 +70,79 @@ FULL_ARCH_CONFIGS: dict[str, DualEncoderConfig] = {
 
 def full_arch_config(name: str) -> DualEncoderConfig:
     return FULL_ARCH_CONFIGS[name]
+
+
+def full_colpali_config():
+    """vidore/colpali-v1.3: PaliGemma-3B (SigLIP-So400m/14-448 + Gemma-2B)
+    with a 128-d retrieval head."""
+    from .colpali import ColPaliConfig
+    from .gemma import GemmaConfig
+
+    return ColPaliConfig(
+        vision=VisionConfig(
+            image_size=448, patch_size=14, dim=1152, layers=27, heads=16, mlp_dim=4304,
+            proj_dim=None, style="siglip", act="gelu_pytorch_tanh", ln_eps=1e-6,
+            use_head=False,
+        ),
+        gemma=GemmaConfig(
+            vocab_size=257216, dim=2048, layers=18, heads=8, kv_heads=1, head_dim=256,
+            mlp_dim=16384,
+        ),
+        embedding_dim=128,
+        image_token_id=257152,
+    )
+
+
+def full_jina_config():
+    """jinaai/jina-clip-v1: EVA02-B/16 + JinaBERT-base."""
+    from .jina import Eva02Config, JinaBertConfig, JinaClipConfig
+
+    return JinaClipConfig(vision=Eva02Config(), text=JinaBertConfig())
+
+
+def load_arch_model(name: str, seed: int = 0, dtype=None):
+    """Random-init model at the FULL published architecture — for perf work
+    and compile checks when checkpoint weights are unavailable (throughput is
+    weight-independent)."""
+    import jax
+    import jax.numpy as jnp
+
+    from .registry import model_info
+    from .towers import dual_encoder_init
+    from .zoo import LoadedModel, hash_tokenizer
+
+    dtype = dtype or jnp.bfloat16
+    info = model_info(name)
+    key = jax.random.key(seed)
+    if info.type == "colpali":
+        import numpy as np
+
+        from .colpali import colpali_init
+
+        cfg = full_colpali_config()
+        suffix = np.array([2, 10, 11, 12, 13, 14], np.int32)  # 6-token suffix
+        params = colpali_init(key, cfg, suffix, dtype)
+        return LoadedModel(
+            info=info, cfg=cfg, params=params, preprocess=info.preprocess,
+            tokenize=hash_tokenizer(cfg.gemma.vocab_size, 32, 1),
+            multi_vector=True,
+        )
+    if info.type == "jina":
+        from .jina import eva02_init, jina_bert_init
+
+        cfg = full_jina_config()
+        kv, kt = jax.random.split(key)
+        params = {
+            "vision": eva02_init(kv, cfg.vision, dtype),
+            "text": jina_bert_init(kt, cfg.text, dtype),
+        }
+        return LoadedModel(
+            info=info, cfg=cfg, params=params, preprocess=info.preprocess,
+            tokenize=hash_tokenizer(cfg.text.vocab_size, info.text_max_len, 3),
+        )
+    cfg = full_arch_config(name)
+    params = dual_encoder_init(key, cfg, dtype)
+    return LoadedModel(
+        info=info, cfg=cfg, params=params, preprocess=info.preprocess,
+        tokenize=hash_tokenizer(cfg.text.vocab_size, cfg.text.max_len, 49407),
+    )

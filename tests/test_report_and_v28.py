@@ -107,3 +107,23 @@ def test_winoground_predicates():
     assert out["Wino Text"] == 50.0
     assert out["Wino Image"] == 50.0
     assert out["Wino Group"] == 50.0
+
+
+def test_score_cache_resume(tmp_path):
+    """Second run with --score-cache-dir must skip encoding and reproduce the
+    same aggregated metrics."""
+    out1 = tmp_path / "r1.csv"
+    out2 = tmp_path / "r2.csv"
+    cache = tmp_path / "scores"
+    common = [
+        "--dataset", "synthetic", "--debug-models", "--models", "OpenAI-CLIP-L",
+        "--sample-size", "24", "--bootstrap-iterations", "6",
+        "--score-cache-dir", str(cache),
+    ]
+    assert bench_main(common + ["--output", str(out1)]) == 0
+    assert len(list(cache.glob("scores_*.npz"))) == 1
+    assert bench_main(common + ["--output", str(out2)]) == 0
+    df1, df2 = pd.read_csv(out1), pd.read_csv(out2)
+    for col in df1.columns:
+        if col.endswith("_mean"):
+            assert abs(df1.iloc[0][col] - df2.iloc[0][col]) < 1e-6, col
