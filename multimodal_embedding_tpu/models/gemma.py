@@ -131,6 +131,95 @@ def gemma_embed(params: Params, cfg: GemmaConfig, input_ids: jax.Array) -> jax.A
     return emb * jnp.asarray(math.sqrt(cfg.dim), emb.dtype)
 
 
+def gemma_lm_logits(params: Params, cfg: GemmaConfig, hidden: jax.Array) -> jax.Array:
+    """Tied-embedding LM head: hidden [B, T, D] -> logits [B, T, V] (f32)."""
+    return jnp.dot(
+        hidden, params["embed"].T.astype(hidden.dtype), preferred_element_type=jnp.float32
+    )
+
+
+def gemma_prefill(
+    params: Params, cfg: GemmaConfig, input_ids: jax.Array, attn_mask: jax.Array, cache_len: int
+):
+    """Causal prefill for generation. Returns (hidden [B,T,D], kv cache).
+
+    kv cache: {'k': [L, B, cache_len, KVH, Dh], 'v': ...} with the first T
+    positions filled. Positions are cumsum(mask)-1 (left padding supported).
+    """
+    b, t = input_ids.shape
+    positions = jnp.cumsum(attn_mask, axis=-1) - 1
+    mask = jnp.broadcast_to((attn_mask > 0)[:, None, :], (b, t, t)) & jnp.tril(
+        jnp.ones((t, t), bool)
+    )[None]
+    x = gemma_embed(params, cfg, input_ids)
+
+    def body(h, lp):
+        y = rms_norm(lp["ln1"], h, cfg.rms_eps)
+        k = jnp.dot(y, lp["attn"]["k"], preferred_element_type=jnp.float32).astype(h.dtype)
+        v = jnp.dot(y, lp["attn"]["v"], preferred_element_type=jnp.float32).astype(h.dtype)
+        k = _rope(k.reshape(b, t, cfg.kv_heads, cfg.head_dim), positions, cfg.rope_theta)
+        v = v.reshape(b, t, cfg.kv_heads, cfg.head_dim)
+        a = _attn(lp["attn"], cfg, y, positions, mask)
+        h = h + a
+        m = _mlp(lp["mlp"], rms_norm(lp["ln2"], h, cfg.rms_eps))
+        return h + m, (k, v)
+
+    x, (ks, vs) = jax.lax.scan(body, x, params["layers"])
+    pad = cache_len - t
+    kv = {
+        "k": jnp.pad(ks, ((0, 0), (0, 0), (0, pad), (0, 0), (0, 0))),
+        "v": jnp.pad(vs, ((0, 0), (0, 0), (0, pad), (0, 0), (0, 0))),
+    }
+    return rms_norm(params["final_norm"], x, cfg.rms_eps), kv
+
+
+def gemma_decode_step(
+    params: Params,
+    cfg: GemmaConfig,
+    kv: dict,
+    token: jax.Array,  # [B]
+    pos: jax.Array,  # [B] position of this token (for rope)
+    write_idx: int | jax.Array,  # cache slot to write
+    cache_valid: jax.Array,  # [B, cache_len] bool — slots to attend (incl. this one)
+):
+    """One autoregressive step. Returns (logits [B, V], updated kv)."""
+    b = token.shape[0]
+    cache_len = kv["k"].shape[2]
+    x = gemma_embed(params, cfg, token[:, None])  # [B, 1, D]
+    positions = pos[:, None]
+
+    def body(carry, inp):
+        h = carry
+        lp, kc, vc = inp
+        y = rms_norm(lp["ln1"], h, cfg.rms_eps)
+        q = jnp.dot(y, lp["attn"]["q"], preferred_element_type=jnp.float32).astype(h.dtype)
+        k = jnp.dot(y, lp["attn"]["k"], preferred_element_type=jnp.float32).astype(h.dtype)
+        v = jnp.dot(y, lp["attn"]["v"], preferred_element_type=jnp.float32).astype(h.dtype)
+        q = _rope(q.reshape(b, 1, cfg.heads, cfg.head_dim), positions, cfg.rope_theta)
+        k = _rope(k.reshape(b, 1, cfg.kv_heads, cfg.head_dim), positions, cfg.rope_theta)
+        v = v.reshape(b, 1, cfg.kv_heads, cfg.head_dim)
+        kc = jax.lax.dynamic_update_slice_in_dim(kc, k, write_idx, axis=1)
+        vc = jax.lax.dynamic_update_slice_in_dim(vc, v, write_idx, axis=1)
+
+        g = cfg.heads // cfg.kv_heads
+        qh = q.reshape(b, cfg.kv_heads, g, cfg.head_dim)
+        logits = jnp.einsum("bhgd,bkhd->bhgk", qh, kc, preferred_element_type=jnp.float32)
+        logits = logits / math.sqrt(cfg.head_dim)
+        logits = jnp.where(cache_valid[:, None, None, :], logits, -1e30)
+        attn = jax.nn.softmax(logits, axis=-1).astype(h.dtype)
+        o = jnp.einsum("bhgk,bkhd->bhgd", attn, vc, preferred_element_type=jnp.float32)
+        o = o.astype(h.dtype).reshape(b, 1, cfg.heads * cfg.head_dim)
+        o = jnp.dot(o, lp["attn"]["o"], preferred_element_type=jnp.float32).astype(h.dtype)
+        h = h + o
+        m = _mlp(lp["mlp"], rms_norm(lp["ln2"], h, cfg.rms_eps))
+        return h + m, (kc, vc)
+
+    x, (ks, vs) = jax.lax.scan(body, x, (params["layers"], kv["k"], kv["v"]))
+    x = rms_norm(params["final_norm"], x, cfg.rms_eps)
+    logits = gemma_lm_logits(params, cfg, x)[:, 0]
+    return logits, {"k": ks, "v": vs}
+
+
 def gemma_init(key, cfg: GemmaConfig, dtype=jnp.float32) -> Params:
     ks = jax.random.split(key, cfg.layers + 1)
 

@@ -87,9 +87,14 @@ class DualEncoderConfig:
 
 
 def patchify(x: jax.Array, patch: int) -> jax.Array:
-    """[B, H, W, 3] -> [B, N, patch*patch*3] with (ph, pw, c) flatten order."""
+    """[B, H, W, 3] -> [B, N, patch*patch*3] with (ph, pw, c) flatten order.
+
+    Non-divisible sizes crop the trailing pixels, matching a stride=patch
+    'valid' conv (e.g. SigLIP-So400m: 384 px / patch 14 -> 27x27 grid, last
+    6 pixels dropped)."""
     b, h, w, c = x.shape
     gh, gw = h // patch, w // patch
+    x = x[:, : gh * patch, : gw * patch]
     x = x.reshape(b, gh, patch, gw, patch, c)
     x = x.transpose(0, 1, 3, 2, 4, 5)  # [B, gh, gw, ph, pw, c]
     return x.reshape(b, gh * gw, patch * patch * c)

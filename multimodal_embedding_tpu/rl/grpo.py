@@ -1,0 +1,189 @@
+"""GRPO trainer: group-relative policy optimization with LoRA adapters.
+
+JAX re-design of the reference's TRL ``GRPOTrainer`` setup
+(train_rl_pure_lora.py:108-138): per prompt, sample a group of G completions
+from the current policy, normalize rewards within the group to advantages,
+and apply a policy-gradient step on the LoRA adapters only, with a k3 KL
+penalty to the frozen base policy (TRL's estimator). Hyperparameters mirror
+the reference config: lr 1e-5, 8 generations, grad-accum 4, 5 epochs.
+
+Everything hot is jitted: sampling is the KV-cache scan in rl/generate.py;
+the loss is one teacher-forcing forward over [prompt | completions] with
+per-token masks (tokens after EOS excluded).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..models.gemma import GemmaConfig, gemma_apply, gemma_embed, gemma_lm_logits
+from . import tokenizer as tok
+from .lora import LoraConfig, apply_lora_to_gemma, lora_init
+
+import logging
+
+logger = logging.getLogger("mme_tpu")
+
+
+@dataclass
+class GRPOConfig:
+    learning_rate: float = 1e-5
+    group_size: int = 8  # num_generations (reference :115)
+    epochs: int = 5
+    grad_accum: int = 4
+    max_prompt_len: int = 256
+    max_new_tokens: int = 48
+    temperature: float = 1.0
+    kl_beta: float = 0.04
+    lora: LoraConfig = field(default_factory=LoraConfig)
+    seed: int = 42
+
+
+def _completion_logps(params, cfg: GemmaConfig, prompt_ids, prompt_mask, completions):
+    """Teacher-forcing log-probs of completion tokens.
+
+    prompt_ids [B, Tp] left-padded; completions [B, Tn].
+    Returns logps [B, Tn] (f32)."""
+    b, tp = prompt_ids.shape
+    tn = completions.shape[1]
+    full = jnp.concatenate([prompt_ids, completions], axis=1)
+    mask = jnp.concatenate([prompt_mask, jnp.ones((b, tn), prompt_mask.dtype)], axis=1)
+    embeds = gemma_embed(params, cfg, full)
+    hidden = gemma_apply(params, cfg, embeds, attn_mask=mask, causal=True)
+    # logits at index tp-1+i predict completion[i]
+    logits = gemma_lm_logits(params, cfg, hidden[:, tp - 1 : tp + tn - 1])
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    return jnp.take_along_axis(logp, completions[:, :, None], axis=-1)[:, :, 0]
+
+
+def completion_token_mask(completions: jax.Array) -> jax.Array:
+    """1.0 for tokens up to and including the first EOS, 0 after."""
+    is_eos = completions == tok.EOS_ID
+    after = jnp.cumsum(is_eos.astype(jnp.int32), axis=1) - is_eos.astype(jnp.int32)
+    return (after == 0).astype(jnp.float32)
+
+
+class GRPOTrainer:
+    def __init__(
+        self,
+        base_params,
+        gemma_cfg: GemmaConfig,
+        reward_fn: Callable[[str, str], float],
+        cfg: GRPOConfig | None = None,
+    ):
+        self.base = base_params
+        self.gemma_cfg = gemma_cfg
+        self.reward_fn = reward_fn
+        self.cfg = cfg or GRPOConfig()
+        self.adapters = lora_init(
+            jax.random.key(self.cfg.seed), base_params, self.cfg.lora
+        )
+        self.opt = optax.adamw(self.cfg.learning_rate)
+        self.opt_state = self.opt.init(self.adapters)
+        self._key = jax.random.key(self.cfg.seed + 1)
+
+        cfg_ = self.cfg
+        gcfg = self.gemma_cfg
+        base = self.base
+
+        def loss_fn(adapters, prompt_ids, prompt_mask, completions, comp_mask, advantages, ref_logps):
+            merged = apply_lora_to_gemma(base, adapters, cfg_.lora)
+            logps = _completion_logps(merged, gcfg, prompt_ids, prompt_mask, completions)
+            denom = jnp.maximum(jnp.sum(comp_mask), 1.0)
+            pg = -jnp.sum(advantages[:, None] * logps * comp_mask) / denom
+            # TRL k3 KL estimator vs the frozen base policy
+            diff = ref_logps - logps
+            kl = jnp.sum((jnp.exp(diff) - diff - 1.0) * comp_mask) / denom
+            return pg + cfg_.kl_beta * kl, (pg, kl)
+
+        self._grad_fn = jax.jit(jax.value_and_grad(loss_fn, has_aux=True))
+
+        def update(opt_state, adapters, grads):
+            updates, opt_state = self.opt.update(grads, opt_state, adapters)
+            return opt_state, optax.apply_updates(adapters, updates)
+
+        self._update = jax.jit(update)
+
+    def policy_params(self):
+        return apply_lora_to_gemma(self.base, self.adapters, self.cfg.lora)
+
+    def _next_key(self):
+        self._key, k = jax.random.split(self._key)
+        return k
+
+    def rollout(self, prompt: str):
+        """Sample a group of completions for one prompt; returns
+        (prompt_ids, prompt_mask, completions, texts, rewards)."""
+        from .generate import generate
+
+        g = self.cfg.group_size
+        ids = tok.encode(prompt, self.cfg.max_prompt_len)
+        prompt_ids, prompt_mask = tok.pad_left([ids] * g, max_len=len(ids))
+        completions, _ = generate(
+            self.policy_params(),
+            self.gemma_cfg,
+            jnp.asarray(prompt_ids),
+            jnp.asarray(prompt_mask),
+            self._next_key(),
+            max_new=self.cfg.max_new_tokens,
+            temperature=self.cfg.temperature,
+        )
+        completions = np.asarray(completions)
+        texts = [tok.decode_until_eos(c) for c in completions]
+        rewards = np.asarray([self.reward_fn(prompt, t) for t in texts], np.float32)
+        return prompt_ids, prompt_mask, completions, texts, rewards
+
+    def train(self, dataset: list[dict], log_every: int = 8) -> dict:
+        """dataset: [{'prompt': str, ...}]. Returns training stats."""
+        cfg = self.cfg
+        stats = {"mean_reward": [], "loss": [], "kl": []}
+        step_grads = None
+        n_accum = 0
+        for epoch in range(cfg.epochs):
+            order = np.random.default_rng(cfg.seed + epoch).permutation(len(dataset))
+            for si, di in enumerate(order):
+                prompt = dataset[int(di)]["prompt"]
+                p_ids, p_mask, comps, _texts, rewards = self.rollout(prompt)
+                adv = (rewards - rewards.mean()) / (rewards.std() + 1e-4)
+                comp_mask = completion_token_mask(jnp.asarray(comps))
+                ref_logps = _completion_logps(
+                    self.base, self.gemma_cfg, jnp.asarray(p_ids), jnp.asarray(p_mask),
+                    jnp.asarray(comps),
+                )
+                (loss, (pg, kl)), grads = self._grad_fn(
+                    self.adapters,
+                    jnp.asarray(p_ids),
+                    jnp.asarray(p_mask),
+                    jnp.asarray(comps),
+                    comp_mask,
+                    jnp.asarray(adv),
+                    ref_logps,
+                )
+                step_grads = (
+                    grads
+                    if step_grads is None
+                    else jax.tree.map(jnp.add, step_grads, grads)
+                )
+                n_accum += 1
+                if n_accum == cfg.grad_accum:
+                    step_grads = jax.tree.map(lambda g: g / cfg.grad_accum, step_grads)
+                    self.opt_state, self.adapters = self._update(
+                        self.opt_state, self.adapters, step_grads
+                    )
+                    step_grads, n_accum = None, 0
+
+                stats["mean_reward"].append(float(rewards.mean()))
+                stats["loss"].append(float(loss))
+                stats["kl"].append(float(kl))
+                if si % log_every == 0:
+                    logger.info(
+                        f"epoch {epoch} step {si}: reward {rewards.mean():.2f} "
+                        f"loss {float(loss):.4f} kl {float(kl):.5f}"
+                    )
+        return stats

@@ -1,0 +1,173 @@
+"""Workload B (GRPO/LoRA RL) tests: generation correctness, LoRA mechanics,
+reference-exact reward semantics, and a smoke training run."""
+
+import json
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from multimodal_embedding_tpu.models.gemma import (
+    GemmaConfig,
+    gemma_apply,
+    gemma_embed,
+    gemma_init,
+    gemma_lm_logits,
+)
+from multimodal_embedding_tpu.rl import tokenizer as tok
+from multimodal_embedding_tpu.rl.datasets import generate_fintech_dataset, generate_support_tickets
+from multimodal_embedding_tpu.rl.generate import generate
+from multimodal_embedding_tpu.rl.grpo import GRPOConfig, GRPOTrainer, completion_token_mask
+from multimodal_embedding_tpu.rl.lora import LoraConfig, lora_init, lora_merge
+from multimodal_embedding_tpu.rl.rewards import (
+    fintech_reward,
+    fintech_target_decision,
+    support_ticket_reward,
+)
+
+CFG = GemmaConfig(vocab_size=300, dim=32, layers=2, heads=4, kv_heads=2, head_dim=8, mlp_dim=64)
+
+
+@pytest.fixture(scope="module")
+def gemma():
+    return gemma_init(jax.random.key(0), CFG)
+
+
+def _naive_greedy(params, ids, mask, steps):
+    """Greedy decoding via repeated full forward (no cache) — ground truth."""
+    ids = list(np.asarray(ids[0]))
+    mask = list(np.asarray(mask[0]))
+    out = []
+    for _ in range(steps):
+        a_ids = jnp.asarray([ids])
+        a_mask = jnp.asarray([mask])
+        hidden = gemma_apply(params, CFG, gemma_embed(params, CFG, a_ids), a_mask, causal=True)
+        logits = gemma_lm_logits(params, CFG, hidden)[0, -1]
+        nxt = int(jnp.argmax(logits))
+        out.append(nxt)
+        ids.append(nxt)
+        mask.append(1)
+    return out
+
+
+def test_kv_cache_matches_full_forward(gemma):
+    prompt = tok.encode("hello world", None)
+    p_ids, p_mask = tok.pad_left([prompt, tok.encode("hi", None)])  # left-padded batch
+    toks, logps = generate(
+        gemma, CFG, jnp.asarray(p_ids), jnp.asarray(p_mask), jax.random.key(0),
+        max_new=6, greedy=True,
+    )
+    toks = np.asarray(toks)
+    for b in range(2):
+        # naive path without padding for this row
+        row = p_ids[b][p_mask[b] > 0]
+        ref = _naive_greedy(gemma, jnp.asarray([row]), jnp.asarray([np.ones(len(row), np.int32)]), 6)
+        assert list(toks[b]) == ref, (b, list(toks[b]), ref)
+    assert np.all(np.asarray(logps) <= 0)
+
+
+def test_lora_zero_init_is_identity(gemma, rng):
+    lcfg = LoraConfig(rank=4)
+    adapters = lora_init(jax.random.key(1), gemma, lcfg)
+    merged = lora_merge(gemma, adapters, lcfg)
+    ids = jnp.asarray(rng.integers(3, 299, size=(2, 7)))
+    mask = jnp.ones((2, 7), jnp.int32)
+    h1 = gemma_apply(gemma, CFG, gemma_embed(gemma, CFG, ids), mask)
+    h2 = gemma_apply(merged, CFG, gemma_embed(merged, CFG, ids), mask)
+    np.testing.assert_allclose(np.asarray(h1), np.asarray(h2), atol=1e-6)
+
+    # non-zero b => different outputs
+    adapters["q"]["b"] = adapters["q"]["b"] + 0.1
+    merged2 = lora_merge(gemma, adapters, lcfg)
+    h3 = gemma_apply(merged2, CFG, gemma_embed(merged2, CFG, ids), mask)
+    assert np.abs(np.asarray(h3) - np.asarray(h1)).max() > 1e-4
+
+
+def test_support_reward_reference_semantics():
+    p = "my bill shows a double charge, refund please"
+    assert support_ticket_reward(p, '{"category": "BILLING"}') == 2.0 + 15.0
+    # reference quirk (train_rl_pure_lora.py:58-66): OTHER on a keyword prompt
+    # takes the -10 penalty BUT still earns the not-hit +15 bonus since `hit`
+    # stays False -> net 2 - 10 + 15
+    assert support_ticket_reward(p, '{"category": "OTHER"}') == 2.0 - 10.0 + 15.0
+    assert support_ticket_reward(p, '<think>hm</think>{"category": "BILLING"}') == -20.0 - 5.0 - 5.0
+    assert support_ticket_reward(p, '```json\n{"category": "BILLING"}\n```') == -5.0 - 5.0 - 5.0
+    assert support_ticket_reward("hello there", '{"category": "OTHER"}') == 2.0 + 15.0
+    assert support_ticket_reward(p, "not json at all") == -5.0 - 5.0
+
+
+def test_fintech_reward_reference_semantics():
+    p_bigtech = "Annual Revenue: $5,000,000\nAnnual Burn Rate: $1,000,000\nFounder Background: Ex-Google\nCustomer NPS Score: 10"
+    assert fintech_target_decision(p_bigtech) == "MANUAL_REVIEW"
+    p_risk = "Annual Revenue: $20,000,000\nAnnual Burn Rate: $19,000,000\nFounder: none\nCustomer NPS Score: 10"
+    assert fintech_target_decision(p_risk) == "REJECT_RISK"
+    p_nps = "Annual Revenue: $1,000,000\nAnnual Burn Rate: $100,000\nCustomer NPS Score: 90"
+    assert fintech_target_decision(p_nps) == "A_PLUS_TIER"
+    p_std = "Annual Revenue: $1,000,000\nAnnual Burn Rate: $100,000\nCustomer NPS Score: 10"
+    assert fintech_target_decision(p_std) == "STANDARD_LOAN"
+
+    assert fintech_reward(p_std, '{"decision": "STANDARD_LOAN"}') == 1.0 + 30.0
+    # laziness penalty
+    assert fintech_reward(p_std, '{"decision": "MANUAL_REVIEW"}') == 1.0 - 15.0 - 20.0
+    # disobedience penalty
+    assert fintech_reward(p_bigtech, '{"decision": "REJECT_RISK"}') == 1.0 - 15.0 - 30.0
+
+
+def test_datasets_ground_truth_consistency():
+    ds = generate_fintech_dataset(50, seed=1)
+    assert len(ds) == 50
+    for r in ds:
+        assert fintech_target_decision(r["prompt"]) == r["answer"]
+    tickets = generate_support_tickets(20, seed=1)
+    assert len(tickets) == 20
+    assert all(r["answer"] in ("BILLING", "TECHNICAL", "SHIPPING", "OTHER") for r in tickets)
+
+
+def test_completion_token_mask():
+    comps = jnp.asarray([[5, 6, tok.EOS_ID, 9, 9], [5, 6, 7, 8, 9]])
+    m = np.asarray(completion_token_mask(comps))
+    np.testing.assert_array_equal(m[0], [1, 1, 1, 0, 0])
+    np.testing.assert_array_equal(m[1], [1, 1, 1, 1, 1])
+
+
+def test_grpo_smoke_training(gemma):
+    """Two accumulation windows of GRPO: adapters move, stats finite."""
+    cfg = GRPOConfig(
+        group_size=4, epochs=1, grad_accum=2, max_prompt_len=64,
+        max_new_tokens=8, lora=LoraConfig(rank=2), seed=0,
+    )
+    trainer = GRPOTrainer(gemma, CFG, support_ticket_reward, cfg)
+    before = np.asarray(trainer.adapters["q"]["b"]).copy()
+    ds = generate_support_tickets(4, seed=3)
+    stats = trainer.train(ds)
+    assert len(stats["mean_reward"]) == 4
+    assert np.isfinite(stats["loss"]).all()
+    after = np.asarray(trainer.adapters["q"]["b"])
+    assert np.abs(after - before).max() > 0  # an optimizer step happened
+
+
+def test_train_and_verify_cli(tmp_path):
+    """End-to-end: train (debug size) -> save adapters -> verify CLI."""
+    from multimodal_embedding_tpu.cli.train_rl import main as train_main
+    from multimodal_embedding_tpu.cli.verify_rl import main as verify_main
+
+    out = tmp_path / "rl_out"
+    rc = train_main(
+        [
+            "--task", "support", "--model-size", "debug", "--dataset-size", "4",
+            "--epochs", "1", "--num-generations", "4", "--grad-accum", "2",
+            "--max-new-tokens", "8", "--lora-rank", "2",
+            "--output-dir", str(out),
+        ]
+    )
+    assert rc == 0
+    assert (out / "lora_adapters.npz").exists()
+    rc = verify_main(
+        [
+            "--task", "support", "--model-size", "debug", "--dataset-size", "4",
+            "--adapters", str(out / "lora_adapters.npz"), "--lora-rank", "2",
+        ]
+    )
+    assert rc == 0

@@ -125,3 +125,26 @@ def test_siglip_text_parity(siglip_pair, rng):
         ref = model.get_text_features(input_ids=torch.from_numpy(ids)).numpy()
     ours = np.asarray(encode_text(params, cfg, jnp.asarray(ids)))
     np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_siglip_ragged_patch_grid_parity(rng):
+    """384/14-style non-divisible geometry: the conv drops trailing pixels."""
+    from transformers import SiglipConfig, SiglipModel
+
+    hf_cfg = SiglipConfig(
+        text_config={"hidden_size": 32, "num_hidden_layers": 1, "num_attention_heads": 4,
+                     "intermediate_size": 64, "vocab_size": 99, "max_position_embeddings": 16},
+        vision_config={"hidden_size": 48, "num_hidden_layers": 1, "num_attention_heads": 4,
+                       "intermediate_size": 96, "image_size": 30, "patch_size": 14},
+    )
+    torch.manual_seed(2)
+    model = SiglipModel(hf_cfg).eval()
+    cfg = siglip_config_from_hf(hf_cfg)
+    params = siglip_params_from_hf(model.state_dict(), cfg)
+    pixels = rng.standard_normal((2, 30, 30, 3)).astype(np.float32)
+    with torch.no_grad():
+        ref = model.get_image_features(
+            pixel_values=torch.from_numpy(pixels.transpose(0, 3, 1, 2))
+        ).numpy()
+    ours = np.asarray(encode_image(params, cfg, jnp.asarray(pixels)))
+    np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-4)
