@@ -94,10 +94,12 @@ def stage_images(
         count = len(idxs)
         nb = -(-count // batch_size)
         # NCHW on the wire and in HBM: TPU tiling pads the trailing dim to
-        # 128 lanes, so [..., 3] would inflate HBM footprint ~42x
+        # 128 lanes, so [..., 3] would inflate HBM footprint ~42x. The layout
+        # conversion uses the threaded native kernel when cores allow.
+        from ..utils.native import hwc_to_chw_batch
+
         buf = np.empty((nb * batch_size, 3, h, w), np.uint8)
-        for j, i in enumerate(idxs):
-            buf[j] = images[i].transpose(2, 0, 1)
+        hwc_to_chw_batch([images[i] for i in idxs], out=buf[:count])
         if nb * batch_size > count:  # pad with repeats of the last image
             buf[count:] = buf[count - 1]
         dev = jax.device_put(buf.reshape(nb, batch_size, 3, h, w), sharding)

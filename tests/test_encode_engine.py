@@ -70,3 +70,23 @@ def test_text_encoding_batching(setup):
     np.testing.assert_allclose(
         np.asarray(out.embeddings[3]), np.asarray(out2.embeddings[0]), rtol=1e-5, atol=1e-5
     )
+
+
+def test_native_staging_kernel_equivalence(rng):
+    """Native HWC->CHW kernel (if buildable) must match numpy exactly."""
+    from multimodal_embedding_tpu.utils.native import _load, hwc_to_chw_batch
+
+    imgs = [rng.integers(0, 256, (37, 53, 3), dtype=np.uint8) for _ in range(5)]
+    ref = np.stack([im.transpose(2, 0, 1) for im in imgs])
+    np.testing.assert_array_equal(hwc_to_chw_batch(imgs), ref)
+    lib = _load()
+    if lib is not None:  # force the native path regardless of core count
+        import ctypes
+
+        out = np.empty((5, 3, 37, 53), np.uint8)
+        contig = [np.ascontiguousarray(im) for im in imgs]
+        ptrs = (ctypes.c_void_p * 5)(
+            *[im.ctypes.data_as(ctypes.c_void_p).value for im in contig]
+        )
+        lib.hwc_to_chw_batch(ptrs, out.ctypes.data_as(ctypes.c_void_p), 5, 37, 53, 3)
+        np.testing.assert_array_equal(out, ref)
