@@ -127,3 +127,10 @@ def test_score_cache_resume(tmp_path):
     for col in df1.columns:
         if col.endswith("_mean"):
             assert abs(df1.iloc[0][col] - df2.iloc[0][col]) < 1e-6, col
+
+
+def test_probe_cli_debug_models():
+    from multimodal_embedding_tpu.cli.probe import main as probe_main
+
+    rc = probe_main(["--models", "OpenAI-CLIP-L,ColPali-v1.3", "--weights", "debug"])
+    assert rc == 0
