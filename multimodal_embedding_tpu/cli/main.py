@@ -74,6 +74,8 @@ def parse_args(argv=None):
     p.add_argument("--score-cache-dir", type=str, default=None,
                    help="Persist/resume encoded score matrices (skip re-encoding "
                         "on reruns of the same model+dataset)")
+    p.add_argument("--profile-dir", type=str, default=None,
+                   help="Capture a jax.profiler trace of each model's benchmark")
     return p.parse_args(argv)
 
 
@@ -232,7 +234,10 @@ def main(argv=None) -> int:
             continue
 
         try:
-            result = run_bootstrap_benchmark(
+            from ..utils.profiling import maybe_trace
+
+            with maybe_trace(args.profile_dir and f"{args.profile_dir}/{info.name}"):
+                result = run_bootstrap_benchmark(
                 model,
                 records,
                 args.bootstrap_iterations,
@@ -243,7 +248,7 @@ def main(argv=None) -> int:
                 transport=args.transport,
                 cache=cache,
                 score_cache_dir=args.score_cache_dir,
-            )
+                )
             bootstrap_metrics = result.pop("_bootstrap_metrics", None)
             if bootstrap_metrics:
                 all_bootstrap.update(

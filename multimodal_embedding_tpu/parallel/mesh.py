@@ -26,6 +26,10 @@ def get_mesh(n_data: int | None = None, n_model: int = 1, devices=None) -> Mesh:
 
     ``n_data`` defaults to ``len(devices) // n_model``. Works identically for
     real TPU chips and ``xla_force_host_platform_device_count`` CPU devices.
+    In a multi-host (DCN) setting, devices are ordered host-major by
+    ``jax.devices()``, so the batch-sharded data axis keeps each host's shard
+    on its local chips and the replicated-params all-gathers ride ICI within
+    a host; use :func:`get_multihost_mesh` to make the DCN axis explicit.
     """
     devices = list(devices if devices is not None else jax.devices())
     if n_data is None:
@@ -34,6 +38,17 @@ def get_mesh(n_data: int | None = None, n_model: int = 1, devices=None) -> Mesh:
     if need > len(devices):
         raise ValueError(f"mesh ({n_data}x{n_model}) needs {need} devices, have {len(devices)}")
     dev_array = np.asarray(devices[:need]).reshape(n_data, n_model)
+    return Mesh(dev_array, (DATA_AXIS, MODEL_AXIS))
+
+
+def get_multihost_mesh(n_model: int = 1) -> Mesh:
+    """(data, model) mesh for multi-host runs built with
+    ``jax.experimental.mesh_utils`` so the data axis is contiguous over DCN
+    (outer) x ICI (inner) — collectives along ``model`` stay on-host."""
+    from jax.experimental import mesh_utils
+
+    n_dev = len(jax.devices())
+    dev_array = mesh_utils.create_device_mesh((n_dev // n_model, n_model))
     return Mesh(dev_array, (DATA_AXIS, MODEL_AXIS))
 
 
