@@ -102,7 +102,15 @@ def stage_images(
         hwc_to_chw_batch([images[i] for i in idxs], out=buf[:count])
         if nb * batch_size > count:  # pad with repeats of the last image
             buf[count:] = buf[count - 1]
-        dev = jax.device_put(buf.reshape(nb, batch_size, 3, h, w), sharding)
+        buf = buf.reshape(nb, batch_size, 3, h, w)
+        # bounded-size transfers: multi-GB single puts can stall slow or
+        # tunneled host links; ship <=128MB slices and concatenate on device
+        batch_bytes = batch_size * 3 * h * w
+        step = max(1, (128 << 20) // batch_bytes)
+        parts = [
+            jax.device_put(buf[s : s + step], sharding) for s in range(0, nb, step)
+        ]
+        dev = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
         groups.append(((h, w), idxs, dev, count))
     from ..utils.timing import hard_sync as _hs
     _hs([g[2] for g in groups])
