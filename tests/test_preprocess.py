@@ -98,3 +98,18 @@ def test_mixed_geometry_batch(rng):
     # same-geometry images must be processed by the same compiled fn
     single = preprocess_batch(cfg, [imgs[2]])[0]
     np.testing.assert_allclose(out[2], single, atol=1e-5)
+
+
+def test_pallas_preprocess_matches_xla_path(rng):
+    """Fused Pallas kernel (interpret mode on CPU) vs the XLA matmul path."""
+    import jax.numpy as jnp
+
+    from multimodal_embedding_tpu.ops.preprocess_pallas import preprocess_pallas
+
+    cfg = PreprocessConfig(image_size=32)
+    h, w = 50, 70
+    imgs = rng.integers(0, 256, size=(3, h, w, 3), dtype=np.uint8)
+    ref = preprocess_batch(cfg, list(imgs))
+    nchw = jnp.asarray(imgs.transpose(0, 3, 1, 2))
+    got = np.asarray(preprocess_pallas(nchw, cfg, h, w, interpret=True))
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
