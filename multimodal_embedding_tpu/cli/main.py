@@ -76,6 +76,8 @@ def parse_args(argv=None):
                         "on reruns of the same model+dataset)")
     p.add_argument("--profile-dir", type=str, default=None,
                    help="Capture a jax.profiler trace of each model's benchmark")
+    p.add_argument("--attention-impl", type=str, default="xla", choices=["xla", "flash"],
+                   help="Tower self-attention: XLA SDPA or Pallas flash attention (TPU)")
     return p.parse_args(argv)
 
 
@@ -193,6 +195,11 @@ def main(argv=None) -> int:
     setup_logging()
     logger.info(f"BENCHMARK START (V29 STATISTICAL, TPU) - Output: {args.output}")
     logger.info(f"Bootstrap iterations: {args.bootstrap_iterations}")
+
+    if args.attention_impl != "xla":
+        from ..models.layers import set_attention_impl
+
+        set_attention_impl(args.attention_impl)
 
     mesh = get_mesh()
     logger.info(f"Device mesh: {dict(mesh.shape)} over {mesh.devices.size} devices")

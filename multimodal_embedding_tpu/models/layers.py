@@ -67,6 +67,50 @@ ACTIVATIONS = {
 }
 
 
+# Attention implementation for self-attention inside the towers:
+#  - "xla":   einsum SDPA with f32 softmax (reference semantics, any backend)
+#  - "flash": the official Pallas TPU flash-attention kernel (online softmax,
+#             no [T, T] logits in HBM) — numerically equivalent within f32
+#             tolerance; requires TPU, self-attention, no key-padding mask.
+# Module-level switch so model code stays implementation-agnostic; set via
+# set_attention_impl() (the CLI exposes --attention-impl).
+_ATTENTION_IMPL = "xla"
+
+
+def set_attention_impl(impl: str) -> None:
+    global _ATTENTION_IMPL
+    assert impl in ("xla", "flash")
+    _ATTENTION_IMPL = impl
+
+
+def _flash_sdpa(q: jax.Array, k: jax.Array, v: jax.Array, causal: bool) -> jax.Array:
+    """q/k/v [B, T, H, Dh] -> [B, T, H, Dh] via the Pallas TPU kernel."""
+    from jax.experimental.pallas.ops.tpu.flash_attention import flash_attention
+
+    # kernel layout is [B, H, T, Dh]; pad T to a 128 multiple with masked-out
+    # zero keys (segment ids separate pad from real tokens)
+    b, t, h, dh = q.shape
+    tp = -(-t // 128) * 128
+    pad = tp - t
+
+    def to_bhtd(x):
+        x = jnp.pad(x, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        return jnp.swapaxes(x, 1, 2)
+
+    from jax.experimental.pallas.ops.tpu.flash_attention import SegmentIds
+
+    seg = jnp.concatenate(
+        [jnp.ones((b, t), jnp.int32), jnp.zeros((b, pad), jnp.int32)], axis=1
+    )
+    out = flash_attention(
+        to_bhtd(q), to_bhtd(k), to_bhtd(v),
+        segment_ids=SegmentIds(q=seg, kv=seg),
+        causal=causal,
+        sm_scale=1.0 / math.sqrt(dh),
+    )
+    return jnp.swapaxes(out, 1, 2)[:, :t]
+
+
 def mha(
     p: Params,
     x: jax.Array,
@@ -82,6 +126,7 @@ def mha(
     mask: [B, Tk] boolean key-validity mask (True = attend).
     Softmax in float32.
     """
+    self_attn = kv is None
     kv = x if kv is None else kv
     b, tq, d = x.shape
     tk = kv.shape[1]
@@ -90,6 +135,10 @@ def mha(
     q = linear(p["q"], x).reshape(b, tq, n_heads, dh)
     k = linear(p["k"], kv).reshape(b, tk, n_heads, dh)
     v = linear(p["v"], kv).reshape(b, tk, n_heads, dh)
+
+    if _ATTENTION_IMPL == "flash" and self_attn and mask is None:
+        out = _flash_sdpa(q, k, v, causal).astype(x.dtype).reshape(b, tq, d)
+        return linear(p["o"], out)
 
     logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
     logits = logits / math.sqrt(dh)
