@@ -39,6 +39,12 @@ from ..stats.ci import bootstrap_confidence_interval
 from ..utils.logging import setup_logging
 from ..utils.memory import report_memory
 
+
+def caps_per_image(records: list[dict]) -> int:
+    """COCO protocol uses exactly 5 captions (reference main.py:513-517);
+    datasets with fewer (e.g. DocVQA's single question) use what they have."""
+    return min(5, min(len(r["captions"]) for r in records))
+
 logger = logging.getLogger("mme_tpu")
 
 SEED = 42
@@ -59,7 +65,7 @@ def parse_args(argv=None):
                    help="Comma-separated model names or 'all'")
     # TPU-native extensions
     p.add_argument("--dataset", type=str, default="coco",
-                   choices=["coco", "flickr30k", "synthetic"])
+                   choices=["coco", "flickr30k", "docvqa", "synthetic"])
     p.add_argument("--debug-models", action="store_true",
                    help="Random-init small towers (offline smoke runs)")
     p.add_argument("--arch-models", action="store_true",
@@ -90,8 +96,9 @@ def compute_score_matrices(
 ):
     """Encode once, build the two full score matrices (the bootstrap then
     resamples on device). Returns (s_t2i [N,N], s_i2t [N,5N], encoding_time)."""
+    kc = caps_per_image(records)
     t2i_captions = [r["captions"][0] for r in records]  # T2I uses first caption
-    all_captions = [c for r in records for c in r["captions"][:5]]
+    all_captions = [c for r in records for c in r["captions"][:kc]]
 
     t0 = time.perf_counter()
     if cache is not None:
@@ -167,7 +174,9 @@ def run_bootstrap_benchmark(
     report_memory()
 
     logger.info(f"Running {n_iterations} bootstrap iterations on device...")
-    out = bootstrap_benchmark(s_t2i, s_i2t, n_iterations, seed=seed)
+    out = bootstrap_benchmark(
+        s_t2i, s_i2t, n_iterations, seed=seed, caps_per_image=caps_per_image(records)
+    )
     total_time = time.perf_counter() - t_start
 
     aggregated: dict = {"Model": model.info.name}

@@ -49,7 +49,7 @@ def parse_args(argv=None):
     p.add_argument("--output", type=str, default="benchmark_v28_results.csv")
     p.add_argument("--cache-dir", type=str, default="./coco_images")
     p.add_argument("--models", type=str, default="all")
-    p.add_argument("--dataset", type=str, default="coco", choices=["coco", "flickr30k", "synthetic"])
+    p.add_argument("--dataset", type=str, default="coco", choices=["coco", "flickr30k", "docvqa", "synthetic"])
     p.add_argument("--debug-models", action="store_true")
     p.add_argument("--skip-winoground", action="store_true")
     p.add_argument("--winoground-samples", type=int, default=None)
@@ -60,9 +60,12 @@ def parse_args(argv=None):
 
 def run_benchmark_coco(model, engine, records, maxsim_impl="auto", include_mrr=False) -> dict:
     """Single-pass deterministic run (v28:231-411): encode, score, metrics."""
+    from .main import caps_per_image
+
+    kc = caps_per_image(records)
     images = [r["image"] for r in records]
     t2i_caps = [r["captions"][0] for r in records]
-    all_caps = [c for r in records for c in r["captions"][:5]]
+    all_caps = [c for r in records for c in r["captions"][:kc]]
 
     t0 = time.perf_counter()
     img = engine.encode_images(images)
@@ -77,7 +80,7 @@ def run_benchmark_coco(model, engine, records, maxsim_impl="auto", include_mrr=F
         s_t2i = dense_scores(txt.embeddings, img.embeddings)
         s_i2t = dense_scores(img.embeddings, txt_all.embeddings)
 
-    metrics = compute_metrics(s_t2i, s_i2t, s_t2i.T, include_mrr=include_mrr)
+    metrics = compute_metrics(s_t2i, s_i2t, s_t2i.T, include_mrr=include_mrr, caps_per_image=kc)
     metrics["Time"] = time.perf_counter() - t0
     metrics["QPS"] = len(images) / enc_time
     metrics["Img/s"] = len(images) / enc_time

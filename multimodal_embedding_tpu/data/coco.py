@@ -78,6 +78,24 @@ def _load_flickr30k(sample_size: int, seed: int) -> list[dict]:
     return records
 
 
+def _load_docvqa(sample_size: int, seed: int) -> list[dict]:
+    """DocVQA validation split as question->document-image retrieval (the
+    v15-era adapter, SURVEY.md §7.4): one question per document image."""
+    from datasets import load_dataset
+
+    ds = load_dataset("lmms-lab/DocVQA", "DocVQA", split="validation")
+    if sample_size < len(ds):
+        ds = ds.shuffle(seed=seed).select(range(sample_size))
+    records = []
+    for i, item in enumerate(ds):
+        q = item.get("question")
+        img = item.get("image")
+        if not q or img is None:
+            continue
+        records.append({"image": np.asarray(img.convert("RGB")), "captions": [str(q)], "imgid": i})
+    return records
+
+
 def load_benchmark_dataset(
     name: str,
     cache_dir: "Path | str" = "./coco_images",
@@ -85,11 +103,13 @@ def load_benchmark_dataset(
     sample_size: int = 5000,
     seed: int = SEED,
 ) -> list[dict]:
-    """name: 'coco' | 'flickr30k' | 'synthetic'."""
+    """name: 'coco' | 'flickr30k' | 'docvqa' | 'synthetic'."""
     if name == "synthetic":
         return synthetic_retrieval_dataset(min(sample_size, 10_000_000), seed=seed)
     if name == "coco":
         return _load_coco(Path(cache_dir), workers, sample_size, seed)
     if name == "flickr30k":
         return _load_flickr30k(sample_size, seed)
+    if name == "docvqa":
+        return _load_docvqa(sample_size, seed)
     raise ValueError(f"unknown dataset '{name}'")

@@ -66,6 +66,7 @@ def compute_metrics(
     scores_i2t_sym: jax.Array | None = None,
     ks: tuple[int, ...] = DEFAULT_KS,
     include_mrr: bool = False,
+    caps_per_image: int = 5,
 ) -> dict[str, float]:
     """Single-pass (non-bootstrap) metrics, v28 protocol.
 
@@ -85,7 +86,7 @@ def compute_metrics(
     if include_mrr:
         out["T2I_MRR"] = float(mrr(r_t2i))
 
-    cap_groups = diag[:, None] * 5 + jnp.arange(5)[None, :]
+    cap_groups = diag[:, None] * caps_per_image + jnp.arange(caps_per_image)[None, :]
     r_i2t = multi_target_ranks(scores_i2t, cap_groups)
     for k in ks:
         out[f"I2T_R@{k}"] = float(recall_at_k(r_i2t, min(k, scores_i2t.shape[1])))

@@ -67,12 +67,15 @@ def bootstrap_benchmark(
     n_iterations: int,
     seed: int = 42,
     ks: tuple[int, ...] = DEFAULT_KS,
+    caps_per_image: int = 5,
 ) -> BootstrapOutput:
     """scores_t2i [N, N] (rows = first-caption queries, cols = images, target
-    on the diagonal); scores_i2t [N, 5N] (rows = images, caption block 5i..5i+4
-    belongs to image i). Returns per-iteration Recall@K for the three
-    protocols (reference main.py:331-378)."""
+    on the diagonal); scores_i2t [N, K*N] (rows = images, caption block
+    K*i..K*i+K-1 belongs to image i; K = caps_per_image, 5 for the COCO
+    protocol). Returns per-iteration Recall@K for the three protocols
+    (reference main.py:331-378)."""
     n = scores_t2i.shape[0]
+    kc = caps_per_image
     s_t = jnp.asarray(scores_t2i, jnp.float32)
     s_i = jnp.asarray(scores_i2t, jnp.float32)
 
@@ -80,8 +83,8 @@ def bootstrap_benchmark(
     c_t2i = (s_t > diag[:, None]).astype(jnp.bfloat16)  # [N, N]
     c_sym = (s_t.T > diag[:, None]).astype(jnp.bfloat16)  # row a: caption b vs a's diag
     own = jnp.take_along_axis(
-        s_i, (jnp.arange(n)[:, None] * 5 + jnp.arange(5)[None, :]), axis=1
-    )  # [N, 5] scores of image a's own captions
+        s_i, (jnp.arange(n)[:, None] * kc + jnp.arange(kc)[None, :]), axis=1
+    )  # [N, K] scores of image a's own captions
     thr = own
     # Tie bookkeeping among exact duplicates (the only exact-score ties the
     # bootstrap introduces): q[a, t] = #own caps tying with threshold t (each
@@ -89,7 +92,7 @@ def bootstrap_benchmark(
     # e_lt[a, t] = #own caps at an earlier in-block position tying with t.
     eq_own = own[:, :, None] == own[:, None, :]  # [N, 5(t), 5(s)]
     q_ties = jnp.sum(eq_own, axis=2).astype(jnp.float32)  # [N, 5]
-    s_before_t = jnp.arange(5)[None, :] < jnp.arange(5)[:, None]  # [5(t), 5(s)]
+    s_before_t = jnp.arange(kc)[None, :] < jnp.arange(kc)[:, None]  # [K(t), K(s)]
     e_lt = jnp.sum(eq_own & s_before_t[None], axis=2).astype(jnp.float32)  # [N, 5]
 
     root = jax.random.key(seed)
@@ -98,7 +101,7 @@ def bootstrap_benchmark(
         key = jax.random.fold_in(root, it)
         idx = jax.random.randint(key, (n,), 0, n)
         m = jnp.zeros((n,), jnp.float32).at[idx].add(1.0)
-        m_cap = jnp.repeat(m, 5)  # caption multiplicities, block layout
+        m_cap = jnp.repeat(m, kc)  # caption multiplicities, block layout
 
         v_t2i = jnp.dot(c_t2i, m.astype(jnp.bfloat16), preferred_element_type=jnp.float32)
         v_sym = jnp.dot(c_sym, m.astype(jnp.bfloat16), preferred_element_type=jnp.float32)
@@ -123,7 +126,7 @@ def bootstrap_benchmark(
         for k in ks:
             mets.append(100.0 * jnp.mean(rank_t2i < min(k, n)))
         for k in ks:
-            mets.append(100.0 * jnp.mean(rank_i2t < min(k, 5 * n)))
+            mets.append(100.0 * jnp.mean(rank_i2t < min(k, kc * n)))
         for k in ks:
             mets.append(100.0 * jnp.mean(rank_sym < min(k, n)))
         correct_r1 = rank_t2i < 1

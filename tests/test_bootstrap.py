@@ -90,3 +90,21 @@ def test_permutation_test():
     c = rng.normal(1.0, 1.0, 200)
     assert permutation_test(a, b) > 0.05
     assert permutation_test(a, c) < 0.01
+
+
+def test_bootstrap_single_caption_protocol(rng):
+    """caps_per_image=1 (DocVQA-style): I2T multi == I2T sym semantics."""
+    n, iters = 16, 4
+    s_t2i = rng.standard_normal((n, n)).astype(np.float32)
+    s_i2t = rng.standard_normal((n, n)).astype(np.float32)
+    out = bootstrap_benchmark(
+        jnp.asarray(s_t2i), jnp.asarray(s_i2t), iters, seed=3, caps_per_image=1
+    )
+    for it in range(iters):
+        idx = out.sample_idx[it]
+        g_i = s_i2t[idx][:, idx]
+        for k in (1, 5, 10):
+            ref = 100 * np.mean(
+                [_topk_correct(g_i[r], [r], min(k, n)) for r in range(n)]
+            )
+            assert abs(out.metrics[f"I2T_R@{k}"][it] - ref) < 1e-3
