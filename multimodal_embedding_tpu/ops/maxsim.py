@@ -79,41 +79,47 @@ def maxsim_scores_ref(
 def _maxsim_kernel(q_ref, qm_ref, d_ref, dm_ref, out_ref, runmax_ref):
     """One grid step: query block x doc block x doc-token tile.
 
-    q_ref:   [BQ, TQ, D]    query embeddings (f32 in VMEM)
-    qm_ref:  [BQ, TQ]       query token mask
-    d_ref:   [BD, TS, D]    doc-token tile
-    dm_ref:  [BD, TS]       doc token mask for this tile
-    out_ref: [BQ, BD]       output scores
+    Layout choices are Mosaic-friendly: only leading-dim (sublane) reshapes,
+    no lane-dim shape casts or in-kernel transposes.
+
+    q_ref:   [BQ, TQ, D]     query embeddings (f32 in VMEM)
+    qm_ref:  [BQ, TQ]        query token mask
+    d_ref:   [TS, BD, D]     doc-token tile, TOKEN-major (doc axis in lanes
+                             of the similarity matrix)
+    dm_ref:  [1, 1, TS*BD]   doc token mask, flattened in (t, b) order
+    out_ref: [BQ, BD]        output scores
     runmax_ref: scratch [BQ*TQ, BD] running max over doc-token tiles
     """
     s = pl.program_id(2)
     n_s = pl.num_programs(2)
 
     bq, tq, dim = q_ref.shape
-    bd, ts, _ = d_ref.shape
+    ts, bd, _ = d_ref.shape
 
     @pl.when(s == 0)
     def _():
         runmax_ref[:] = jnp.full_like(runmax_ref, NEG_INF)
 
-    qf = q_ref[:].reshape(bq * tq, dim)
-    df = d_ref[:].reshape(bd * ts, dim)
-    # [BQ*TQ, BD*TS] token-level similarities on the MXU
+    qf = q_ref[:].reshape(bq * tq, dim)  # leading-dim collapse
+    df = d_ref[:].reshape(ts * bd, dim)  # leading-dim collapse, (t, b) order
+    # [BQ*TQ, TS*BD] token-level similarities on the MXU; column c = t*BD + b
     sim = jax.lax.dot_general(
         qf,
         df,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    dmask = dm_ref[:].reshape(1, bd * ts)
-    sim = jnp.where(dmask != 0, sim, NEG_INF)
-    # per-doc max over this token tile
-    tile_max = jnp.max(sim.reshape(bq * tq, bd, ts), axis=-1)
+    sim = jnp.where(dm_ref[0] != 0, sim, NEG_INF)  # [1, TS*BD] broadcast
+    # per-doc max over this tile's tokens: static unrolled max over the TS
+    # column groups (each a [BQ*TQ, BD] slab — lane layout untouched)
+    tile_max = sim[:, 0:bd]
+    for t in range(1, ts):
+        tile_max = jnp.maximum(tile_max, sim[:, t * bd : (t + 1) * bd])
     runmax_ref[:] = jnp.maximum(runmax_ref[:], tile_max)
 
     @pl.when(s == n_s - 1)
     def _():
-        tok_max = runmax_ref[:].reshape(bq, tq, bd)
+        tok_max = runmax_ref[:].reshape(bq, tq, bd)  # leading-dim split
         qm = qm_ref[:].astype(jnp.float32)  # [BQ, TQ]
         out_ref[:] = jnp.sum(tok_max * qm[:, :, None], axis=1)
 
@@ -125,45 +131,68 @@ def _maxsim_pallas(
     d: jax.Array,
     d_mask: jax.Array,
     *,
-    block_q: int = 32,
-    block_d: int = 8,
-    token_tile: int = 256,
+    block_q: int = 8,
+    block_d: int = 128,
+    token_tile: int = 32,
     interpret: bool = False,
 ) -> jax.Array:
+    """Block sizes obey TPU tiling: the output block is (block_q, block_d)
+    with block_q a sublane multiple (8) and block_d a lane multiple (128);
+    query tokens are padded to a multiple of 8 so the q block's middle dim
+    tiles cleanly."""
     nq, tq, dim = q.shape
     nd, td, _ = d.shape
 
+    ptq = _ceil_to(tq, 8)
     pnq = _ceil_to(nq, block_q)
     pnd = _ceil_to(nd, block_d)
     ptd = _ceil_to(td, token_tile)
 
-    qp = jnp.pad(q.astype(jnp.float32), ((0, pnq - nq), (0, 0), (0, 0)))
-    qmp = jnp.pad(q_mask.astype(jnp.float32), ((0, pnq - nq), (0, 0)))
-    dp = jnp.pad(d.astype(jnp.float32), ((0, pnd - nd), (0, ptd - td), (0, 0)))
-    dmp = jnp.pad(d_mask.astype(jnp.int32), ((0, pnd - nd), (0, ptd - td)))
+    qp = jnp.pad(q.astype(jnp.float32), ((0, pnq - nq), (0, ptq - tq), (0, 0)))
+    qmp = jnp.pad(q_mask.astype(jnp.float32), ((0, pnq - nq), (0, ptq - tq)))
+    # docs token-major [ptd, pnd, D] so the similarity lanes hold the doc axis
+    dp = jnp.transpose(
+        jnp.pad(d.astype(jnp.float32), ((0, pnd - nd), (0, ptd - td), (0, 0))), (1, 0, 2)
+    )
+    # per-(token-tile, doc-block) flattened mask in (t, b) order:
+    # [n_s, n_j, TS*BD] so the kernel needs no reshapes/transposes
+    n_j = pnd // block_d
+    n_s = ptd // token_tile
+    dm_t = jnp.pad(d_mask.astype(jnp.int32), ((0, pnd - nd), (0, ptd - td))).T  # [ptd, pnd]
+    # shape [n_s*n_j, 1, TS*BD]: the (1, TS*BD) trailing block dims satisfy
+    # TPU tiling (second-minor equals the overall dim of 1)
+    dmp = (
+        dm_t.reshape(n_s, token_tile, n_j, block_d)
+        .transpose(0, 2, 1, 3)
+        .reshape(n_s * n_j, 1, token_tile * block_d)
+    )
 
-    grid = (pnq // block_q, pnd // block_d, ptd // token_tile)
+    grid = (pnq // block_q, n_j, n_s)
 
     out = pl.pallas_call(
         _maxsim_kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((block_q, tq, dim), lambda i, j, s: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_q, tq), lambda i, j, s: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_q, ptq, dim), lambda i, j, s: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_q, ptq), lambda i, j, s: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (block_d, token_tile, dim), lambda i, j, s: (j, s, 0), memory_space=pltpu.VMEM
+                (token_tile, block_d, dim), lambda i, j, s: (s, j, 0), memory_space=pltpu.VMEM
             ),
-            pl.BlockSpec((block_d, token_tile), lambda i, j, s: (j, s), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, 1, token_tile * block_d),
+                lambda i, j, s, _nj=n_j: (s * _nj + j, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
         ],
         out_specs=pl.BlockSpec((block_q, block_d), lambda i, j, s: (i, j), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((pnq, pnd), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((block_q * tq, block_d), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((block_q * ptq, block_d), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=2 * pnq * tq * pnd * ptd * dim,
-            bytes_accessed=4 * (pnq * tq * dim + pnd * ptd * dim + pnq * pnd),
+            flops=2 * pnq * ptq * pnd * ptd * dim,
+            bytes_accessed=4 * (pnq * ptq * dim + pnd * ptd * dim + pnq * pnd),
             transcendentals=0,
         ),
         interpret=interpret,
@@ -178,9 +207,9 @@ def maxsim_scores(
     d_mask: jax.Array | None = None,
     *,
     impl: str = "auto",
-    block_q: int = 32,
-    block_d: int = 8,
-    token_tile: int = 256,
+    block_q: int = 8,
+    block_d: int = 128,
+    token_tile: int = 32,
 ) -> jax.Array:
     """MaxSim late-interaction scores [NQ, ND] (float32).
 
@@ -198,7 +227,25 @@ def maxsim_scores(
         impl = "pallas" if jax.default_backend() == "tpu" else "xla"
     if impl == "xla":
         return maxsim_scores_ref(q, d, q_mask, d_mask)
-    token_tile = min(token_tile, _ceil_to(td, 128))
-    return _maxsim_pallas(
-        q, q_mask, d, d_mask, block_q=block_q, block_d=block_d, token_tile=token_tile
-    )
+    # MaxSim is additive over query tokens: sum_t max_s(...) — so long
+    # queries (e.g. ColPali I2T, where the 1030-token IMAGE is the query)
+    # split into token chunks that fit the kernel's VMEM budget and the
+    # partial scores add up exactly.
+    chunk = 64
+    if tq <= chunk:
+        return _maxsim_pallas(
+            q, q_mask, d, d_mask, block_q=block_q, block_d=block_d, token_tile=token_tile
+        )
+    total = None
+    for c0 in range(0, tq, chunk):
+        part = _maxsim_pallas(
+            q[:, c0 : c0 + chunk],
+            q_mask[:, c0 : c0 + chunk],
+            d,
+            d_mask,
+            block_q=block_q,
+            block_d=block_d,
+            token_tile=token_tile,
+        )
+        total = part if total is None else total + part
+    return total

@@ -70,3 +70,29 @@ def test_pallas_padding_edges(rng):
         )
     )
     np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-4)
+
+
+def test_query_token_chunking(rng):
+    """Long queries split into token chunks; partial sums must equal the
+    unchunked result (maxsim is additive over query tokens)."""
+    from multimodal_embedding_tpu.ops.maxsim import maxsim_scores
+
+    nq, tq, nd, td, dim = 3, 150, 5, 40, 16  # tq > 64 -> chunked path
+    q = rng.standard_normal((nq, tq, dim)).astype(np.float32)
+    d = rng.standard_normal((nd, td, dim)).astype(np.float32)
+    qm = (rng.random((nq, tq)) > 0.2).astype(np.float32)
+    dm = rng.random((nd, td)) > 0.1
+    ref = _numpy_maxsim(q, d, qm, dm)
+    # interpret-mode pallas via the public wrapper's chunking
+    import multimodal_embedding_tpu.ops.maxsim as mx
+
+    orig = mx._maxsim_pallas
+    def patched(q, qm, d, dm, **kw):
+        kw.update(block_q=4, block_d=4, token_tile=8, interpret=True)
+        return orig(q, qm, d, dm, **kw)
+    mx._maxsim_pallas = patched
+    try:
+        got = np.asarray(maxsim_scores(jnp.asarray(q), jnp.asarray(d), jnp.asarray(qm), jnp.asarray(dm), impl="pallas"))
+    finally:
+        mx._maxsim_pallas = orig
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-4)
