@@ -26,7 +26,7 @@ import numpy as np
 BASELINE_CLIP_L_QPS = 60.6  # A40, reference CSV row OpenAI-CLIP-L
 
 N_IMAGES = 512
-BATCH = 64
+BATCH = 128
 
 
 def main() -> None:
