@@ -134,3 +134,39 @@ def test_probe_cli_debug_models():
 
     rc = probe_main(["--models", "OpenAI-CLIP-L,ColPali-v1.3", "--weights", "debug"])
     assert rc == 0
+
+
+def test_merge_results_cli(tmp_path):
+    from multimodal_embedding_tpu.cli.merge_results import main as merge_main
+
+    a = tmp_path / "a.csv"
+    b = tmp_path / "b.csv"
+    out = tmp_path / "merged.csv"
+    pd.DataFrame([{"Model": "A", "T2I_R@1_mean": 1.0}, {"Model": "B", "T2I_R@1_mean": 2.0}]).to_csv(a, index=False)
+    pd.DataFrame([{"Model": "B", "T2I_R@1_mean": 9.0}, {"Model": "C", "T2I_R@1_mean": 3.0}]).to_csv(b, index=False)
+    assert merge_main([str(a), str(b), "--output", str(out)]) == 0
+    df = pd.read_csv(out)
+    assert list(df["Model"]) == ["A", "B", "C"]
+    assert float(df[df["Model"] == "B"]["T2I_R@1_mean"].iloc[0]) == 9.0  # later wins
+
+
+def test_cli_handles_model_load_failure(tmp_path):
+    """A model whose loader raises is logged and skipped; the loop continues
+    (reference main.py:822-824)."""
+    import os
+
+    out = tmp_path / "r.csv"
+    # real loader requires network -> load fails for the first model; the
+    # run completes with rc 0 and no rows (no model succeeded).
+    # HF_HUB_OFFLINE makes the failure immediate instead of a retry timeout.
+    os.environ["HF_HUB_OFFLINE"] = "1"
+    rc = bench_main(
+        [
+            "--dataset", "synthetic", "--models", "OpenAI-CLIP-L",
+            "--sample-size", "8", "--bootstrap-iterations", "2",
+            "--output", str(out),
+        ]
+    )
+    os.environ.pop("HF_HUB_OFFLINE", None)
+    assert rc == 0
+    assert not out.exists() or len(pd.read_csv(out)) == 0
