@@ -110,12 +110,10 @@ def compute_score_matrices(
     encoding_time = time.perf_counter() - t0
 
     if model.multi_vector:
-        s_t2i = late_interaction_scores(
-            txt_t2i.embeddings, img.embeddings, q_mask=txt_t2i.mask, impl=maxsim_impl
-        )
-        s_i2t = late_interaction_scores(
-            img.embeddings, txt_all.embeddings, d_mask=txt_all.mask, impl=maxsim_impl
-        )
+        # no masks: pad-token embeddings are zeroed by the model (COMPAT.md
+        # item 8), reproducing colpali_engine's scoring exactly
+        s_t2i = late_interaction_scores(txt_t2i.embeddings, img.embeddings, impl=maxsim_impl)
+        s_i2t = late_interaction_scores(img.embeddings, txt_all.embeddings, impl=maxsim_impl)
     else:
         s_t2i = dense_scores(txt_t2i.embeddings, img.embeddings)
         s_i2t = dense_scores(img.embeddings, txt_all.embeddings)
