@@ -71,3 +71,25 @@ def test_cli_colpali_end_to_end(tmp_path):
     row = df.iloc[0]
     for m in EXPECTED_METRICS:
         assert 0.0 <= row[f"{m}_mean"] <= 100.0
+
+
+def test_cli_determinism(tmp_path):
+    """Two identical runs must produce bit-identical metrics (explicit PRNG
+    threading replaces the reference's global seeding, SURVEY.md §5.2)."""
+    outs = []
+    for name in ("d1.csv", "d2.csv"):
+        out = tmp_path / name
+        rc = main(
+            [
+                "--dataset", "synthetic", "--debug-models", "--models", "SigLIP-400M",
+                "--sample-size", "24", "--bootstrap-iterations", "6",
+                "--output", str(out),
+            ]
+        )
+        assert rc == 0
+        outs.append(pd.read_csv(out))
+    a, b = outs
+    for col in a.columns:
+        if col.endswith(("_mean", "_lower", "_upper", "_std")):
+            assert a.iloc[0][col] == b.iloc[0][col], col
+    assert a.iloc[0]["_failure_analysis"] == b.iloc[0]["_failure_analysis"]
