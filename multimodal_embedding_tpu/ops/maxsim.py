@@ -148,12 +148,12 @@ def _maxsim_pallas(
     pnd = _ceil_to(nd, block_d)
     ptd = _ceil_to(td, token_tile)
 
-    qp = jnp.pad(q.astype(jnp.float32), ((0, pnq - nq), (0, ptq - tq), (0, 0)))
+    # embeddings keep their dtype (bf16 in the ColPali path) — the MXU dot
+    # accumulates in f32 either way, and bf16 halves VMEM/HBM traffic
+    qp = jnp.pad(q, ((0, pnq - nq), (0, ptq - tq), (0, 0)))
     qmp = jnp.pad(q_mask.astype(jnp.float32), ((0, pnq - nq), (0, ptq - tq)))
     # docs token-major [ptd, pnd, D] so the similarity lanes hold the doc axis
-    dp = jnp.transpose(
-        jnp.pad(d.astype(jnp.float32), ((0, pnd - nd), (0, ptd - td), (0, 0))), (1, 0, 2)
-    )
+    dp = jnp.transpose(jnp.pad(d, ((0, pnd - nd), (0, ptd - td), (0, 0))), (1, 0, 2))
     # per-(token-tile, doc-block) flattened mask in (t, b) order:
     # [n_s, n_j, TS*BD] so the kernel needs no reshapes/transposes
     n_j = pnd // block_d
