@@ -90,3 +90,20 @@ def test_native_staging_kernel_equivalence(rng):
         )
         lib.hwc_to_chw_batch(ptrs, out.ctypes.data_as(ctypes.c_void_p), 5, 37, 53, 3)
         np.testing.assert_array_equal(out, ref)
+
+
+def test_sharded_batch_apply(setup):
+    """Public data-parallel map utility: tail padding, multi-output pytrees."""
+    import jax.numpy as jnp
+
+    from multimodal_embedding_tpu.parallel import sharded_batch_apply
+
+    _, mesh, _ = setup
+    x = np.arange(26 * 4, dtype=np.float32).reshape(26, 4)
+
+    def fn(a):
+        return a * 2.0, jnp.sum(a, axis=-1)
+
+    y, s = sharded_batch_apply(fn, x, mesh=mesh, batch_size=8)
+    np.testing.assert_allclose(np.asarray(y), x * 2.0)
+    np.testing.assert_allclose(np.asarray(s), x.sum(-1))
