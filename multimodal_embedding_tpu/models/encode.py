@@ -244,16 +244,29 @@ class EncodingEngine:
             if key not in self._pre_fns:
                 pre = make_preprocess_fn(self.model.preprocess, h, w, input_format="nchw")
                 model = self.model
-                b2 = self.batch_size  # rebatch on device to this model's batch
+                b2 = self.batch_size  # rebatch to this model's batch
 
                 def group_fn(params, batches):
                     nb, b = batches.shape[:2]
-                    if b != b2 and (nb * b) % b2 == 0:
-                        batches = batches.reshape(nb * b // b2, b2, *batches.shape[2:])
 
-                    def body(_, batch_u8):
+                    def fwd(batch_u8):
                         px = pre(batch_u8)
-                        return None, l2_normalize(model_image_fwd(model, params, px))
+                        return l2_normalize(model_image_fwd(model, params, px)).astype(
+                            jnp.bfloat16 if model.multi_vector else jnp.float32
+                        )
+
+                    if b != b2 and b % b2 == 0:
+                        # rebatch INSIDE the scan body: reshaping only the
+                        # current ~MB block, never the multi-GB cache array
+                        # (a whole-array reshape makes XLA materialize a
+                        # second copy of the cache)
+                        def body(_, batch_u8):
+                            sub = batch_u8.reshape(b // b2, b2, *batch_u8.shape[1:])
+                            _, e = jax.lax.scan(lambda __, x: (None, fwd(x)), None, sub)
+                            return None, e.reshape(b, *e.shape[2:])
+                    else:
+                        def body(_, batch_u8):
+                            return None, fwd(batch_u8)
 
                     _, embs = jax.lax.scan(body, None, batches)
                     return embs.reshape(-1, *embs.shape[2:])
