@@ -291,7 +291,10 @@ class EncodingEngine:
         t0 = time.perf_counter()
         ids, mask = self.model.tokenize(texts)
         n = ids.shape[0]
-        bs = self.batch_size
+        # text sequences are tiny; the image batch size (4 for ColPali,
+        # reference main.py:130) would mean thousands of dispatches for the
+        # 25k caption sweep — use a wide batch for the text tower
+        bs = max(self.batch_size, 128)
         shard_in = data_sharding(self.mesh, ndim=2, axis=0)
         chunks = []
         mask_chunks = []
