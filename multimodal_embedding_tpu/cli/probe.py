@@ -62,7 +62,7 @@ def probe_model(name: str, weights: str, threshold: float) -> bool:
     te = np.asarray(engine.encode_texts(texts).embeddings)
 
     def stats(x, label):
-        flat = x.reshape(-1, x.shape[-1])
+        flat = x.reshape(-1, x.shape[-1]).astype(np.float32)  # bf16-safe
         norms = np.linalg.norm(flat, axis=-1)
         nz = norms[norms > 1e-6]
         print(
