@@ -36,14 +36,9 @@ from ..parallel.mesh import get_mesh
 from ..retrieval.scoring import dense_scores, late_interaction_scores
 from ..stats.bootstrap import bootstrap_benchmark
 from ..stats.ci import bootstrap_confidence_interval
+from ..data.captions import caps_per_image
 from ..utils.logging import setup_logging
 from ..utils.memory import report_memory
-
-
-def caps_per_image(records: list[dict]) -> int:
-    """COCO protocol uses exactly 5 captions (reference main.py:513-517);
-    datasets with fewer (e.g. DocVQA's single question) use what they have."""
-    return min(5, min(len(r["captions"]) for r in records))
 
 logger = logging.getLogger("mme_tpu")
 

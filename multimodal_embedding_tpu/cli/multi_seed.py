@@ -60,7 +60,7 @@ def parse_args(argv=None):
 
 def run_benchmark_coco(model, engine, records, maxsim_impl="auto", include_mrr=False) -> dict:
     """Single-pass deterministic run (v28:231-411): encode, score, metrics."""
-    from .main import caps_per_image
+    from ..data.captions import caps_per_image
 
     kc = caps_per_image(records)
     images = [r["image"] for r in records]

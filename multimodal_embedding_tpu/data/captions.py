@@ -22,3 +22,10 @@ def get_all_captions(item: dict, col_name: str = "sentences") -> list[str]:
     if not isinstance(val, list):
         val = [str(val)]
     return [str(v) for v in val]
+
+
+def caps_per_image(records: list) -> int:
+    """COCO protocol uses exactly 5 captions per image (reference
+    main.py:513-517); datasets with fewer (e.g. DocVQA's single question)
+    use what they have."""
+    return min(5, min(len(r["captions"]) for r in records))
