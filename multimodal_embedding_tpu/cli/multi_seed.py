@@ -51,6 +51,8 @@ def parse_args(argv=None):
     p.add_argument("--models", type=str, default="all")
     p.add_argument("--dataset", type=str, default="coco", choices=["coco", "flickr30k", "docvqa", "synthetic"])
     p.add_argument("--debug-models", action="store_true")
+    p.add_argument("--arch-models", action="store_true",
+                   help="Random-init towers at the FULL published architecture")
     p.add_argument("--skip-winoground", action="store_true")
     p.add_argument("--winoground-samples", type=int, default=None)
     p.add_argument("--mrr", action="store_true", help="Also report MRR (v15-v19 metric)")
@@ -113,7 +115,14 @@ def main(argv=None) -> int:
     for info in get_models_to_test(args.models, args.batch_size):
         logger.info(f"=== {info.name} ===")
         try:
-            model = load_debug_model(info, seed=SEED) if args.debug_models else load_model(info)
+            if args.debug_models:
+                model = load_debug_model(info, seed=SEED)
+            elif args.arch_models:
+                from ..models.arch import load_arch_model
+
+                model = load_arch_model(info.name, seed=SEED)
+            else:
+                model = load_model(info)
         except Exception as e:
             logger.error(f"Model Load Failed for {info.name}: {e}")
             continue
