@@ -7,7 +7,7 @@ x {T2I, I2T, I2T_Sym} x R@{1,5,10} + Time/QPS/Encoding_Time/Img_per_sec +
 _failure_analysis (reference main.py:643-665).
 
 TPU-specific additions (new flags, defaults preserve reference behavior):
-``--dataset {coco,flickr30k,synthetic}``, ``--debug-models`` (random-init
+``--dataset {coco,flickr30k,docvqa,synthetic}``, ``--debug-models`` (random-init
 towers for offline smoke runs), ``--seed``, ``--maxsim-impl``.
 
 Timing semantics: QPS = images / encoding_time, encode phase only (reference
@@ -30,7 +30,7 @@ import pandas as pd
 from ..analysis.failure import aggregate_failure_analysis
 from ..data.coco import load_benchmark_dataset
 from ..models.encode import DeviceImageCache, EncodingEngine, stage_images
-from ..models.registry import ModelInfo, get_models_to_test
+from ..models.registry import get_models_to_test
 from ..models.zoo import LoadedModel, load_debug_model, load_model
 from ..parallel.mesh import get_mesh
 from ..retrieval.scoring import dense_scores, late_interaction_scores
@@ -213,7 +213,10 @@ def main(argv=None) -> int:
         sample_size=args.sample_size,
         seed=args.seed,
     )
-    logger.info(f"Dataset: {len(records)} images, {5 * len(records)} captions")
+    logger.info(
+        f"Dataset: {len(records)} images, "
+        f"{caps_per_image(records) * len(records)} captions"
+    )
 
     cache: DeviceImageCache | None = None
     if args.device_cache:
@@ -247,16 +250,16 @@ def main(argv=None) -> int:
 
             with maybe_trace(args.profile_dir and f"{args.profile_dir}/{info.name}"):
                 result = run_bootstrap_benchmark(
-                model,
-                records,
-                args.bootstrap_iterations,
-                mesh,
-                batch_size=args.batch_size,
-                seed=args.seed,
-                maxsim_impl=args.maxsim_impl,
-                transport=args.transport,
-                cache=cache,
-                score_cache_dir=args.score_cache_dir,
+                    model,
+                    records,
+                    args.bootstrap_iterations,
+                    mesh,
+                    batch_size=args.batch_size,
+                    seed=args.seed,
+                    maxsim_impl=args.maxsim_impl,
+                    transport=args.transport,
+                    cache=cache,
+                    score_cache_dir=args.score_cache_dir,
                 )
             bootstrap_metrics = result.pop("_bootstrap_metrics", None)
             if bootstrap_metrics:
