@@ -171,3 +171,34 @@ def test_train_and_verify_cli(tmp_path):
         ]
     )
     assert rc == 0
+
+
+def test_grpo_surrogate_loss_descends(gemma):
+    """Fixed-batch sanity: repeated GRPO steps on one rollout must reduce the
+    policy-gradient surrogate (gradients flow through the LoRA adapters) and
+    grow the KL from the frozen base as the policy departs."""
+    import optax
+
+    from multimodal_embedding_tpu.rl.grpo import _completion_logps
+
+    gcfg = GRPOConfig(group_size=8, max_new_tokens=8, lora=LoraConfig(rank=4), seed=0)
+    tr = GRPOTrainer(gemma, CFG, lambda p, c: 0.0, gcfg)
+    p_ids, p_mask, comps, _, _ = tr.rollout("write letters")
+    adv = jnp.asarray(np.array([1.0, -1.0] * 4, np.float32))
+    cm = completion_token_mask(jnp.asarray(comps))
+    ref_lp = _completion_logps(gemma, CFG, jnp.asarray(p_ids), jnp.asarray(p_mask), jnp.asarray(comps))
+
+    opt = optax.adamw(1e-2)
+    st = opt.init(tr.adapters)
+    ad = tr.adapters
+    losses, kls = [], []
+    for _ in range(6):
+        (loss, (pg, kl)), g = tr._grad_fn(
+            ad, jnp.asarray(p_ids), jnp.asarray(p_mask), jnp.asarray(comps), cm, adv, ref_lp
+        )
+        losses.append(float(pg))
+        kls.append(float(kl))
+        up, st = opt.update(g, st, ad)
+        ad = optax.apply_updates(ad, up)
+    assert losses[-1] < losses[0] - 0.05
+    assert kls[-1] > kls[0]
