@@ -79,6 +79,8 @@ def parse_args(argv=None):
                    help="Capture a jax.profiler trace of each model's benchmark")
     p.add_argument("--attention-impl", type=str, default="xla", choices=["xla", "flash"],
                    help="Tower self-attention: XLA SDPA or Pallas flash attention (TPU)")
+    p.add_argument("--preprocess-impl", type=str, default="xla", choices=["xla", "pallas"],
+                   help="Device preprocessing: XLA matmuls or the fused Pallas kernel")
     return p.parse_args(argv)
 
 
@@ -126,6 +128,7 @@ def run_bootstrap_benchmark(
     transport: str = "auto",
     cache: DeviceImageCache | None = None,
     score_cache_dir: str | None = None,
+    preprocess_impl: str = "xla",
 ) -> dict:
     """Encode-once / resample-many (reference main.py:478-667), on device."""
     logger.info(f"Benchmarking {model.info.name} with {n_iterations} bootstrap iterations...")
@@ -145,7 +148,8 @@ def run_bootstrap_benchmark(
         s_t2i, s_i2t = jnp.asarray(s_t2i), jnp.asarray(s_i2t)
     else:
         engine = EncodingEngine(
-            model, mesh, batch_size=model.info.batch_size or batch_size, transport=transport
+            model, mesh, batch_size=model.info.batch_size or batch_size,
+            transport=transport, preprocess_impl=preprocess_impl,
         )
         logger.info("Warming up (XLA compile)...")
         if cache is not None:
@@ -260,6 +264,7 @@ def main(argv=None) -> int:
                     transport=args.transport,
                     cache=cache,
                     score_cache_dir=args.score_cache_dir,
+                    preprocess_impl=args.preprocess_impl,
                 )
             bootstrap_metrics = result.pop("_bootstrap_metrics", None)
             if bootstrap_metrics:

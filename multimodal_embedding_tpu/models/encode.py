@@ -136,6 +136,8 @@ class EncodingEngine:
         batch_size: int = 32,
         transport: str = "auto",
         host_workers: int = 16,
+        preprocess_impl: str = "xla",  # 'xla' | 'pallas' (fused kernel;
+        # bit-identical, measured speed parity on v5e)
     ):
         self.model = model
         self.mesh = mesh
@@ -146,6 +148,7 @@ class EncodingEngine:
             transport = "host" if measure_put_bandwidth_mbps() < 1000.0 else "device"
         self.transport = transport
         self.host_workers = host_workers
+        self.preprocess_impl = preprocess_impl
 
         # multi-vector embeddings stay bf16 (colpali_engine runs the model in
         # bf16 — parity AND 2x less HBM: 5k x 1030 x 128 f32 would be 2.6 GB)
@@ -164,12 +167,18 @@ class EncodingEngine:
 
     # --- internals ---
 
+    def _make_pre(self, h: int, w: int):
+        if self.preprocess_impl == "pallas":
+            from ..ops.preprocess_pallas import preprocess_pallas
+
+            cfg = self.model.preprocess
+            return lambda x: preprocess_pallas(x, cfg, h, w)
+        return make_preprocess_fn(self.model.preprocess, h, w, input_format="nchw")
+
     def _preprocess_fn(self, h: int, w: int):
         key = (h, w)
         if key not in self._pre_fns:
-            self._pre_fns[key] = jax.jit(
-                make_preprocess_fn(self.model.preprocess, h, w, input_format="nchw")
-            )
+            self._pre_fns[key] = jax.jit(self._make_pre(h, w))
         return self._pre_fns[key]
 
     def _geometry_batches(self, images: list[np.ndarray]):
@@ -242,7 +251,7 @@ class EncodingEngine:
         for (h, w), idxs, dev, count in cache.groups:
             key = ("cached", h, w, dev.shape[0])
             if key not in self._pre_fns:
-                pre = make_preprocess_fn(self.model.preprocess, h, w, input_format="nchw")
+                pre = self._make_pre(h, w)
                 model = self.model
                 b2 = self.batch_size  # rebatch to this model's batch
 
