@@ -81,6 +81,9 @@ def parse_args(argv=None):
                    help="Tower self-attention: XLA SDPA or Pallas flash attention (TPU)")
     p.add_argument("--preprocess-impl", type=str, default="xla", choices=["xla", "pallas"],
                    help="Device preprocessing: XLA matmuls or the fused Pallas kernel")
+    p.add_argument("--native-cache-dir", type=str, default=None,
+                   help="Persist HF->JAX converted weights as native .npz; later "
+                        "runs load torch-free")
     return p.parse_args(argv)
 
 
@@ -244,7 +247,7 @@ def main(argv=None) -> int:
 
                 model = load_arch_model(info.name, seed=args.seed)
             else:
-                model = load_model(info)
+                model = load_model(info, native_cache_dir=args.native_cache_dir)
         except Exception as e:
             logger.error(f"Model load failed: {e}")
             continue

@@ -104,12 +104,35 @@ def hash_tokenizer(vocab_size: int, max_len: int, eos_id: int):
 # --- real checkpoint loading --------------------------------------------------
 
 
-def load_model(info: ModelInfo, dtype=jnp.bfloat16, checkpoint_dir: str | None = None) -> LoadedModel:
+def load_model(
+    info: ModelInfo,
+    dtype=jnp.bfloat16,
+    checkpoint_dir: str | None = None,
+    native_cache_dir: str | None = None,
+) -> LoadedModel:
     """Load and convert an HF checkpoint for a dense/siglip model.
+
+    With ``native_cache_dir``, the converted params+config are persisted as a
+    native .npz on first load and reloaded torch-free afterwards
+    (models/checkpoint.py).
 
     colpali/jina families are handled by their dedicated modules
     (models/colpali.py, models/jina.py) and dispatched here.
     """
+    if native_cache_dir and info.type in ("dense", "siglip"):
+        from pathlib import Path
+
+        from .checkpoint import load_params
+
+        npz = Path(native_cache_dir) / f"{info.name}.npz"
+        if npz.exists():
+            params, cfg = load_params(npz)
+            params = cast_params(params, dtype)
+            return LoadedModel(
+                info=info, cfg=cfg, params=params, preprocess=info.preprocess,
+                tokenize=hf_tokenizer(info),
+            )
+
     src = checkpoint_dir or info.hf_id
     if info.type == "colpali":
         from .colpali import load_colpali
@@ -137,6 +160,12 @@ def load_model(info: ModelInfo, dtype=jnp.bfloat16, checkpoint_dir: str | None =
         cfg = clip_config_from_hf(hf.config)
         params = clip_params_from_hf(hf.state_dict(), cfg)
     del hf
+    if native_cache_dir:
+        from pathlib import Path
+
+        from .checkpoint import save_params
+
+        save_params(Path(native_cache_dir) / f"{info.name}.npz", params, cfg)
     params = cast_params(params, dtype)
     return LoadedModel(
         info=info,

@@ -148,3 +148,57 @@ def test_siglip_ragged_patch_grid_parity(rng):
         ).numpy()
     ours = np.asarray(encode_image(params, cfg, jnp.asarray(pixels)))
     np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_native_checkpoint_roundtrip(clip_pair, tmp_path, rng):
+    """Converted params save/reload without torch; embeddings identical."""
+    from multimodal_embedding_tpu.models.checkpoint import load_params, save_params
+
+    _, cfg, params = clip_pair
+    p = tmp_path / "clip.npz"
+    save_params(p, params, cfg)
+    params2, cfg2 = load_params(p)
+    assert cfg2 == cfg
+    pixels = rng.standard_normal((2, 32, 32, 3)).astype(np.float32)
+    e1 = np.asarray(encode_image(params, cfg, jnp.asarray(pixels)))
+    e2 = np.asarray(encode_image(params2, cfg2, jnp.asarray(pixels)))
+    np.testing.assert_array_equal(e1, e2)
+
+
+def test_load_model_native_cache(tmp_path, rng, monkeypatch):
+    """load_model round-trips through the native cache: second load skips
+    transformers entirely."""
+    from transformers import CLIPConfig, CLIPModel
+
+    from multimodal_embedding_tpu.models import zoo
+    from multimodal_embedding_tpu.models.registry import model_info
+
+    hf_cfg = CLIPConfig(
+        text_config={"hidden_size": 32, "num_hidden_layers": 1, "num_attention_heads": 4,
+                     "intermediate_size": 64, "vocab_size": 99, "max_position_embeddings": 16,
+                     "hidden_act": "quick_gelu", "eos_token_id": 2},
+        vision_config={"hidden_size": 48, "num_hidden_layers": 1, "num_attention_heads": 4,
+                       "intermediate_size": 96, "image_size": 32, "patch_size": 8,
+                       "hidden_act": "quick_gelu"},
+        projection_dim=24,
+    )
+    torch.manual_seed(5)
+    local = tmp_path / "hf_ckpt"
+    CLIPModel(hf_cfg).save_pretrained(local)
+    monkeypatch.setattr(zoo, "hf_tokenizer", lambda info: (lambda texts: (None, None)))
+
+    info = model_info("OpenAI-CLIP-L")
+    cache = tmp_path / "native"
+    m1 = zoo.load_model(info, dtype=jnp.float32, checkpoint_dir=str(local),
+                        native_cache_dir=str(cache))
+    assert (cache / "OpenAI-CLIP-L.npz").exists()
+
+    # second load must not need transformers' model classes
+    import transformers as _t
+
+    monkeypatch.setattr(_t, "CLIPModel", None)
+    m2 = zoo.load_model(info, dtype=jnp.float32, native_cache_dir=str(cache))
+    px = rng.standard_normal((1, 32, 32, 3)).astype(np.float32)
+    e1 = np.asarray(encode_image(m1.params, m1.cfg, jnp.asarray(px)))
+    e2 = np.asarray(encode_image(m2.params, m2.cfg, jnp.asarray(px)))
+    np.testing.assert_array_equal(e1, e2)
