@@ -170,3 +170,20 @@ def test_cli_handles_model_load_failure(tmp_path):
     os.environ.pop("HF_HUB_OFFLINE", None)
     assert rc == 0
     assert not out.exists() or len(pd.read_csv(out)) == 0
+
+
+def test_encode_cli(tmp_path):
+    from multimodal_embedding_tpu.cli.encode_cli import main as encode_main
+
+    out = tmp_path / "emb.npz"
+    rc = encode_main(
+        ["--model", "SigLIP-400M", "--dataset", "synthetic", "--sample-size", "12",
+         "--debug-models", "--output", str(out)]
+    )
+    assert rc == 0
+    data = np.load(out)
+    assert data["image_embeddings"].shape[0] == 12
+    assert data["text_embeddings"].shape[0] == 60
+    assert data["caption_image_index"].shape == (60,)
+    norms = np.linalg.norm(data["image_embeddings"], axis=-1)
+    np.testing.assert_allclose(norms, 1.0, atol=1e-4)
