@@ -187,3 +187,39 @@ def test_encode_cli(tmp_path):
     assert data["caption_image_index"].shape == (60,)
     norms = np.linalg.norm(data["image_embeddings"], axis=-1)
     np.testing.assert_allclose(norms, 1.0, atol=1e-4)
+
+
+def test_index_search_roundtrip(tmp_path):
+    """encode -> index -> search: a caption's own image ranks by construction
+    when queries ARE the stored embeddings."""
+    from multimodal_embedding_tpu.cli.encode_cli import main as encode_main
+    from multimodal_embedding_tpu.retrieval.search import Index
+
+    import jax.numpy as jnp
+
+    out = tmp_path / "emb.npz"
+    assert encode_main(
+        ["--model", "OpenAI-CLIP-L", "--dataset", "synthetic", "--sample-size", "10",
+         "--debug-models", "--output", str(out)]
+    ) == 0
+    idx = Index.from_npz(str(out))
+    data = np.load(out)
+    # query with the image embeddings themselves: top-1 must be identity
+    ids, scores = idx.search(jnp.asarray(data["image_embeddings"]), k=3)
+    np.testing.assert_array_equal(ids[:, 0], data["imgids"])
+    assert np.all(scores[:, 0] >= scores[:, 1] - 1e-6)
+
+
+def test_search_cli(tmp_path, capsys):
+    from multimodal_embedding_tpu.cli.encode_cli import main as encode_main
+    from multimodal_embedding_tpu.cli.search import main as search_main
+
+    out = tmp_path / "emb.npz"
+    encode_main(["--model", "SigLIP-400M", "--dataset", "synthetic", "--sample-size", "8",
+                 "--debug-models", "--output", str(out)])
+    rc = search_main(["--index", str(out), "--model", "SigLIP-400M", "--debug-models",
+                      "--query", "a red dog", "--k", "3"])
+    assert rc == 0
+    captured = capsys.readouterr().out
+    assert "query: a red dog" in captured
+    assert len([l for l in captured.splitlines() if l.startswith("  ")]) == 3
