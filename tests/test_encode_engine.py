@@ -107,3 +107,15 @@ def test_sharded_batch_apply(setup):
     y, s = sharded_batch_apply(fn, x, mesh=mesh, batch_size=8)
     np.testing.assert_allclose(np.asarray(y), x * 2.0)
     np.testing.assert_allclose(np.asarray(s), x.sum(-1))
+
+
+def test_device_cache_is_batch_sharded(setup):
+    """Staged image cache arrays must actually shard over the data axis."""
+    _, mesh, images = setup
+    cache = stage_images(images, mesh, batch_size=8)
+    for _, _, dev, _ in cache.groups:
+        sharding = dev.sharding
+        # batch axis (dim 1) sharded across the 8 virtual devices
+        assert len(sharding.device_set) == mesh.devices.size
+        spec = sharding.spec
+        assert spec[1] == "data", spec
