@@ -113,6 +113,39 @@ class GRPOTrainer:
     def policy_params(self):
         return apply_lora_to_gemma(self.base, self.adapters, self.cfg.lora)
 
+    # --- checkpoint / resume -------------------------------------------------
+
+    def save_state(self, path) -> None:
+        """Full training-state checkpoint (adapters + optimizer moments) —
+        mid-run resume the reference lacks (it only saves the final model,
+        train_rl_pure_lora.py:137)."""
+        import numpy as np
+
+        from ..models.checkpoint import _flatten
+
+        flat = {f"adapters/{k}": v for k, v in _flatten(self.adapters).items()}
+        opt_leaves = jax.tree.leaves(self.opt_state)
+        for i, leaf in enumerate(opt_leaves):
+            flat[f"opt/{i}"] = np.asarray(leaf)
+        np.savez(path, **flat)
+
+    def load_state(self, path) -> None:
+        import numpy as np
+
+        from ..models.checkpoint import _unflatten
+
+        data = np.load(path)
+        self.adapters = _unflatten(
+            {k[len("adapters/"):]: data[k] for k in data.files if k.startswith("adapters/")}
+        )
+        opt_leaves = [
+            jnp.asarray(data[f"opt/{i}"])
+            for i in range(sum(1 for k in data.files if k.startswith("opt/")))
+        ]
+        self.opt_state = jax.tree.unflatten(
+            jax.tree.structure(self.opt_state), opt_leaves
+        )
+
     def _next_key(self):
         self._key, k = jax.random.split(self._key)
         return k

@@ -202,3 +202,19 @@ def test_grpo_surrogate_loss_descends(gemma):
         ad = optax.apply_updates(ad, up)
     assert losses[-1] < losses[0] - 0.05
     assert kls[-1] > kls[0]
+
+
+def test_grpo_state_checkpoint_roundtrip(gemma, tmp_path):
+    cfg = GRPOConfig(group_size=4, epochs=1, grad_accum=1, max_new_tokens=4,
+                     lora=LoraConfig(rank=2), seed=0)
+    tr = GRPOTrainer(gemma, CFG, support_ticket_reward, cfg)
+    tr.train(generate_support_tickets(2, seed=5))  # move state off init
+    p = tmp_path / "state.npz"
+    tr.save_state(p)
+
+    tr2 = GRPOTrainer(gemma, CFG, support_ticket_reward, cfg)
+    tr2.load_state(p)
+    for a, b in zip(jax.tree.leaves(tr.adapters), jax.tree.leaves(tr2.adapters)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(tr.opt_state), jax.tree.leaves(tr2.opt_state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
