@@ -12,7 +12,6 @@ verification like run_benchmark_openai_apple_only.py:61-104.
 from __future__ import annotations
 
 import argparse
-import sys
 
 import numpy as np
 

@@ -13,7 +13,7 @@ random-init stand-in per family for offline testing/benchmarking.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 from ..ops.preprocess import (
     OPENAI_CLIP_MEAN,

@@ -20,7 +20,7 @@ implementations is enforced in tests/test_tower_parity.py.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Literal
 
 import jax
