@@ -65,6 +65,18 @@ FULL_ARCH_CONFIGS: dict[str, DualEncoderConfig] = {
     "Apple-DFN5B-H": _vit_h(378, "gelu"),
     # google/siglip-so400m-patch14-384
     "SigLIP-400M": _SIGLIP_400M,
+    # google/siglip-base-patch16-224 (v15-era extra, reference paper.md:15-24)
+    "SigLIP-Base": DualEncoderConfig(
+        vision=VisionConfig(
+            image_size=224, patch_size=16, dim=768, layers=12, heads=12, mlp_dim=3072,
+            proj_dim=None, style="siglip", act="gelu_pytorch_tanh", ln_eps=1e-6,
+        ),
+        text=TextConfig(
+            vocab_size=32000, max_len=64, dim=768, layers=12, heads=12, mlp_dim=3072,
+            proj_dim=768, style="siglip", act="gelu_pytorch_tanh", ln_eps=1e-6,
+        ),
+        family="siglip",
+    ),
 }
 
 

@@ -94,7 +94,22 @@ MODEL_REGISTRY: list[ModelInfo] = [
     ),
 ]
 
-_BY_NAME = {m.name: m for m in MODEL_REGISTRY}
+# Optional extras not in the default "all" set: SigLIP-Base appears in the
+# reference's v15-era Flickr30k results (paper.md:15-24) but was excluded from
+# the COCO roster for its weak discriminative margin (RESULTS_SUMMARY.md:114).
+EXTRA_MODELS: list[ModelInfo] = [
+    ModelInfo(
+        name="SigLIP-Base",
+        hf_id="google/siglip-base-patch16-224",
+        type="siglip",
+        preprocess=PreprocessConfig(
+            image_size=224, resize_mode="exact", mean=SIGLIP_MEAN, std=SIGLIP_STD
+        ),
+        text_max_len=64,
+    ),
+]
+
+_BY_NAME = {m.name: m for m in MODEL_REGISTRY + EXTRA_MODELS}
 
 
 def get_models_to_test(models_arg: str = "all", default_batch_size: int = 32) -> list[ModelInfo]:
