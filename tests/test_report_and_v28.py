@@ -223,3 +223,21 @@ def test_search_cli(tmp_path, capsys):
     captured = capsys.readouterr().out
     assert "query: a red dog" in captured
     assert len([l for l in captured.splitlines() if l.startswith("  ")]) == 3
+
+
+def test_ci_overlap_p_value_matches_reference_formula():
+    """The fallback significance approximation reproduces the reference's
+    norm_cdf/effect-size computation (analyze_statistical_results.py:47-102)."""
+    import math
+
+    from multimodal_embedding_tpu.analysis.report import ci_overlap_p_value
+
+    row_i = pd.Series({"m_mean": 50.0, "m_lower": 48.0, "m_upper": 52.0, "m_std": 1.0})
+    row_j = pd.Series({"m_mean": 51.0, "m_lower": 49.0, "m_upper": 53.0, "m_std": 1.0})
+    # overlapping CIs -> effect-size path: |50-51| / sqrt((1+1)/2) = 1.0
+    expected = 2 * (1 - 0.5 * (1 + math.erf(1.0 / math.sqrt(2))))
+    assert abs(ci_overlap_p_value(row_i, row_j, "m") - expected) < 1e-9
+
+    # disjoint CIs -> p = 0.01
+    row_k = pd.Series({"m_mean": 60.0, "m_lower": 58.0, "m_upper": 62.0, "m_std": 1.0})
+    assert ci_overlap_p_value(row_i, row_k, "m") == 0.01
