@@ -25,8 +25,10 @@ import numpy as np
 
 BASELINE_CLIP_L_QPS = 60.6  # A40, reference CSV row OpenAI-CLIP-L
 
-N_IMAGES = 512
-BATCH = 128
+# modest staging payload: the one-time image upload is untimed but must
+# survive slow/tunneled host links
+N_IMAGES = 256
+BATCH = 64
 
 
 def main() -> None:
