@@ -113,3 +113,22 @@ def test_pallas_preprocess_matches_xla_path(rng):
     nchw = jnp.asarray(imgs.transpose(0, 3, 1, 2))
     got = np.asarray(preprocess_pallas(nchw, cfg, h, w, interpret=True))
     np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_registry_matches_reference_models():
+    """7 default models with the reference's names, ids, and the ColPali
+    batch pin (reference main.py:129-137)."""
+    from multimodal_embedding_tpu.models.registry import get_models_to_test
+
+    models = get_models_to_test("all", default_batch_size=32)
+    by_name = {m.name: m for m in models}
+    assert set(by_name) == {
+        "ColPali-v1.3", "SigLIP-400M", "LAION-CLIP-H", "Jina-CLIP-v1",
+        "MetaCLIP-H14", "OpenAI-CLIP-L", "Apple-DFN5B-H",
+    }
+    assert by_name["ColPali-v1.3"].batch_size == 4
+    assert by_name["OpenAI-CLIP-L"].hf_id == "openai/clip-vit-large-patch14-336"
+    assert by_name["LAION-CLIP-H"].hf_id == "laion/CLIP-ViT-H-14-laion2B-s32B-b79K"
+    assert by_name["MetaCLIP-H14"].trust_remote_code
+    assert by_name["SigLIP-400M"].preprocess.image_size == 384
+    assert by_name["Apple-DFN5B-H"].preprocess.image_size == 378

@@ -218,3 +218,12 @@ def test_grpo_state_checkpoint_roundtrip(gemma, tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     for a, b in zip(jax.tree.leaves(tr.opt_state), jax.tree.leaves(tr2.opt_state)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_tokenizer_edges():
+    ids = tok.encode("hello", max_len=4)
+    assert len(ids) == 4  # truncation keeps the tail
+    ids2, mask2 = tok.pad_left([tok.encode("hi"), tok.encode("longer text here")])
+    assert ids2.shape == mask2.shape
+    assert (ids2[mask2 == 0] == tok.PAD_ID).all()
+    assert tok.decode_until_eos(list(tok.encode("json!", add_bos=False)) + [tok.EOS_ID, 99]) == "json!"
