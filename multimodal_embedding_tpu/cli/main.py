@@ -175,7 +175,8 @@ def run_bootstrap_benchmark(
 
     logger.info(f"Running {n_iterations} bootstrap iterations on device...")
     out = bootstrap_benchmark(
-        s_t2i, s_i2t, n_iterations, seed=seed, caps_per_image=caps_per_image(records)
+        s_t2i, s_i2t, n_iterations, seed=seed, caps_per_image=caps_per_image(records),
+        mesh=mesh if mesh.devices.size > 1 else None,
     )
     total_time = time.perf_counter() - t_start
 

@@ -68,12 +68,19 @@ def bootstrap_benchmark(
     seed: int = 42,
     ks: tuple[int, ...] = DEFAULT_KS,
     caps_per_image: int = 5,
+    mesh=None,
 ) -> BootstrapOutput:
     """scores_t2i [N, N] (rows = first-caption queries, cols = images, target
     on the diagonal); scores_i2t [N, K*N] (rows = images, caption block
     K*i..K*i+K-1 belongs to image i; K = caps_per_image, 5 for the COCO
     protocol). Returns per-iteration Recall@K for the three protocols
-    (reference main.py:331-378)."""
+    (reference main.py:331-378).
+
+    With a multi-device ``mesh``, iterations shard across the ``data`` axis
+    (embarrassingly parallel; scores replicate). Iteration i's sample comes
+    from ``fold_in(seed, i)`` regardless of placement, so sharded and
+    single-device runs produce BIT-IDENTICAL outputs
+    (tests/test_bootstrap.py::test_bootstrap_mesh_sharding_identical)."""
     n = scores_t2i.shape[0]
     kc = caps_per_image
     s_t = jnp.asarray(scores_t2i, jnp.float32)
@@ -133,9 +140,30 @@ def bootstrap_benchmark(
 
         return carry, (jnp.stack(mets), correct_r1, idx.astype(jnp.int32))
 
-    _, (met_arr, correct, idxs) = jax.lax.scan(step, None, jnp.arange(n_iterations))
+    n_data = int(mesh.shape["data"]) if mesh is not None else 1
+    if n_data > 1:
+        # pad the iteration count to the mesh, scan per shard, trim after
+        pad_iters = -(-n_iterations // n_data) * n_data
+        iters = jnp.arange(pad_iters).reshape(n_data, pad_iters // n_data)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        iters = jax.device_put(iters, NamedSharding(mesh, P("data", None)))
+
+        def shard_scan(iter_chunk):
+            _, ys = jax.lax.scan(step, None, iter_chunk)
+            return ys
+
+        met_arr, correct, idxs = jax.jit(jax.vmap(shard_scan))(iters)
+        met_arr = np.asarray(jax.block_until_ready(met_arr)).reshape(pad_iters, -1)[
+            :n_iterations
+        ]
+        correct = np.asarray(correct).reshape(pad_iters, -1)[:n_iterations]
+        idxs = np.asarray(idxs).reshape(pad_iters, -1)[:n_iterations]
+    else:
+        _, (met_arr, correct, idxs) = jax.lax.scan(step, None, jnp.arange(n_iterations))
+        met_arr = np.asarray(jax.block_until_ready(met_arr))
     # f32 accumulation can land epsilon outside [0, 100]
-    met_arr = np.clip(np.asarray(jax.block_until_ready(met_arr)), 0.0, 100.0)
+    met_arr = np.clip(met_arr, 0.0, 100.0)
 
     names = (
         [f"T2I_R@{k}" for k in ks] + [f"I2T_R@{k}" for k in ks] + [f"I2T_Sym_R@{k}" for k in ks]

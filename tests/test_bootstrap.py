@@ -108,3 +108,22 @@ def test_bootstrap_single_caption_protocol(rng):
                 [_topk_correct(g_i[r], [r], min(k, n)) for r in range(n)]
             )
             assert abs(out.metrics[f"I2T_R@{k}"][it] - ref) < 1e-3
+
+
+def test_bootstrap_mesh_sharding_identical(rng):
+    """Iteration-sharded bootstrap over the 8-device mesh must be
+    BIT-IDENTICAL to the single-device run (placement-independent per-
+    iteration keys), including a non-divisible iteration count."""
+    from multimodal_embedding_tpu.parallel.mesh import get_mesh
+
+    n, iters = 20, 11  # 11 % 8 != 0 -> padding/trim path
+    s_t2i = rng.standard_normal((n, n)).astype(np.float32)
+    s_i2t = rng.standard_normal((n, 5 * n)).astype(np.float32)
+    single = bootstrap_benchmark(jnp.asarray(s_t2i), jnp.asarray(s_i2t), iters, seed=9)
+    sharded = bootstrap_benchmark(
+        jnp.asarray(s_t2i), jnp.asarray(s_i2t), iters, seed=9, mesh=get_mesh()
+    )
+    for k in single.metrics:
+        np.testing.assert_array_equal(single.metrics[k], sharded.metrics[k])
+    np.testing.assert_array_equal(single.sample_idx, sharded.sample_idx)
+    np.testing.assert_array_equal(single.correct_r1, sharded.correct_r1)
