@@ -93,6 +93,7 @@ def compute_score_matrices(
     records: list[dict],
     maxsim_impl: str = "auto",
     cache: DeviceImageCache | None = None,
+    mesh=None,
 ):
     """Encode once, build the two full score matrices (the bootstrap then
     resamples on device). Returns (s_t2i [N,N], s_i2t [N,5N], encoding_time)."""
@@ -112,8 +113,13 @@ def compute_score_matrices(
     if model.multi_vector:
         # no masks: pad-token embeddings are zeroed by the model (COMPAT.md
         # item 8), reproducing colpali_engine's scoring exactly
-        s_t2i = late_interaction_scores(txt_t2i.embeddings, img.embeddings, impl=maxsim_impl)
-        s_i2t = late_interaction_scores(img.embeddings, txt_all.embeddings, impl=maxsim_impl)
+        smesh = mesh if mesh is not None and mesh.devices.size > 1 else None
+        s_t2i = late_interaction_scores(
+            txt_t2i.embeddings, img.embeddings, impl=maxsim_impl, mesh=smesh
+        )
+        s_i2t = late_interaction_scores(
+            img.embeddings, txt_all.embeddings, impl=maxsim_impl, mesh=smesh
+        )
     else:
         s_t2i = dense_scores(txt_t2i.embeddings, img.embeddings)
         s_i2t = dense_scores(img.embeddings, txt_all.embeddings)
@@ -164,7 +170,7 @@ def run_bootstrap_benchmark(
 
         t_start = time.perf_counter()
         s_t2i, s_i2t, encoding_time = compute_score_matrices(
-            model, engine, records, maxsim_impl, cache=cache
+            model, engine, records, maxsim_impl, cache=cache, mesh=mesh
         )
         if score_cache_dir:
             from ..stats.score_cache import save_scores

@@ -210,12 +210,45 @@ def maxsim_scores(
     block_q: int = 8,
     block_d: int = 128,
     token_tile: int = 32,
+    mesh=None,
 ) -> jax.Array:
     """MaxSim late-interaction scores [NQ, ND] (float32).
 
     impl: 'pallas' (TPU kernel), 'xla' (reference), or 'auto'
-    (pallas on TPU, xla elsewhere).
+    (pallas on TPU, xla elsewhere). With a multi-device ``mesh``, queries
+    shard across the ``data`` axis via shard_map (docs replicate; each chip
+    scores its query block — zero communication during scoring).
     """
+    if mesh is not None and int(mesh.shape["data"]) > 1:
+        from functools import partial
+
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        nq = q.shape[0]
+        n_data = int(mesh.shape["data"])
+        pad = _ceil_to(nq, n_data) - nq
+        qp = jnp.pad(q, ((0, pad), (0, 0), (0, 0)))
+        qmp = (
+            jnp.pad(q_mask, ((0, pad), (0, 0)))
+            if q_mask is not None
+            else jnp.ones(qp.shape[:2], jnp.float32)
+        )
+        fn = shard_map(
+            partial(
+                maxsim_scores,
+                impl=impl,
+                block_q=block_q,
+                block_d=block_d,
+                token_tile=token_tile,
+            ),
+            mesh=mesh,
+            in_specs=(P("data"), P(), P("data"), P()),
+            out_specs=P("data"),
+            check_rep=False,
+        )
+        dm = d_mask if d_mask is not None else jnp.ones(d.shape[:2], jnp.bool_)
+        return fn(qp, d, qmp, dm)[:nq]
     nq, tq, _ = q.shape
     nd, td, _ = d.shape
     if q_mask is None:

@@ -42,6 +42,8 @@ def late_interaction_scores(
     d_mask: jax.Array | None = None,
     *,
     impl: str = "auto",
+    mesh: Mesh | None = None,
 ) -> jax.Array:
-    """Multi-vector MaxSim scores [NQ, ND] float32."""
-    return maxsim_scores(q, d, q_mask, d_mask, impl=impl)
+    """Multi-vector MaxSim scores [NQ, ND] float32 (query-sharded over the
+    mesh's data axis when one is provided)."""
+    return maxsim_scores(q, d, q_mask, d_mask, impl=impl, mesh=mesh)

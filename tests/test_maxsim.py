@@ -96,3 +96,20 @@ def test_query_token_chunking(rng):
     finally:
         mx._maxsim_pallas = orig
     np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-4)
+
+
+def test_maxsim_mesh_sharded_matches_single(rng):
+    """Query-sharded MaxSim over the 8-device mesh == single-device result
+    (non-divisible NQ exercises the pad/trim path)."""
+    from multimodal_embedding_tpu.ops.maxsim import maxsim_scores
+    from multimodal_embedding_tpu.parallel.mesh import get_mesh
+
+    nq, tq, nd, td, dim = 11, 6, 7, 20, 16
+    q = rng.standard_normal((nq, tq, dim)).astype(np.float32)
+    d = rng.standard_normal((nd, td, dim)).astype(np.float32)
+    qm = (rng.random((nq, tq)) > 0.2).astype(np.float32)
+    single = np.asarray(maxsim_scores(jnp.asarray(q), jnp.asarray(d), jnp.asarray(qm), impl="xla"))
+    sharded = np.asarray(
+        maxsim_scores(jnp.asarray(q), jnp.asarray(d), jnp.asarray(qm), impl="xla", mesh=get_mesh())
+    )
+    np.testing.assert_allclose(sharded, single, rtol=1e-6, atol=1e-6)
