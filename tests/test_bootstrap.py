@@ -127,3 +127,21 @@ def test_bootstrap_mesh_sharding_identical(rng):
         np.testing.assert_array_equal(single.metrics[k], sharded.metrics[k])
     np.testing.assert_array_equal(single.sample_idx, sharded.sample_idx)
     np.testing.assert_array_equal(single.correct_r1, sharded.correct_r1)
+
+
+def test_bootstrap_partial_own_caption_ties(rng):
+    """Two of each image's five captions share an exact score (the q_ties /
+    e_lt bookkeeping path) — device results must still match the reference
+    topk emulation per sample."""
+    n, iters = 12, 6
+    s_t2i = rng.standard_normal((n, n)).astype(np.float32)
+    s_i2t = rng.standard_normal((n, 5 * n)).astype(np.float32)
+    for i in range(n):
+        # caption 1 ties caption 3 of the same image; caption 0 ties caption 4
+        s_i2t[i, 5 * i + 3] = s_i2t[i, 5 * i + 1]
+        s_i2t[i, 5 * i + 4] = s_i2t[i, 5 * i + 0]
+    out = bootstrap_benchmark(jnp.asarray(s_t2i), jnp.asarray(s_i2t), iters, seed=13)
+    for it in range(iters):
+        ref = _reference_metrics(s_t2i, s_i2t, out.sample_idx[it])
+        for name, val in ref.items():
+            assert abs(out.metrics[name][it] - val) < 1e-3, (it, name)
