@@ -202,3 +202,20 @@ def test_load_model_native_cache(tmp_path, rng, monkeypatch):
     e1 = np.asarray(encode_image(m1.params, m1.cfg, jnp.asarray(px)))
     e2 = np.asarray(encode_image(m2.params, m2.cfg, jnp.asarray(px)))
     np.testing.assert_array_equal(e1, e2)
+
+
+def test_bf16_attention_mode_close_to_f32(clip_pair, rng):
+    from multimodal_embedding_tpu.models.layers import set_attention_impl
+
+    model, cfg, params = clip_pair
+    pixels = rng.standard_normal((2, 32, 32, 3)).astype(np.float32)
+    e_f32 = np.asarray(encode_image(params, cfg, jnp.asarray(pixels)))
+    try:
+        set_attention_impl("xla_bf16")
+        e_bf16 = np.asarray(encode_image(params, cfg, jnp.asarray(pixels)))
+    finally:
+        set_attention_impl("xla")
+    cos = (e_f32 * e_bf16).sum(-1) / (
+        np.linalg.norm(e_f32, axis=-1) * np.linalg.norm(e_bf16, axis=-1)
+    )
+    assert cos.min() > 0.999
