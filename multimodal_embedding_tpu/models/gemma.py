@@ -74,9 +74,16 @@ def _attn(
     q = _rope(q, positions, cfg.rope_theta)
     k = _rope(k, positions, cfg.rope_theta)
 
+    from .layers import _ATTENTION_IMPL
+
     g = cfg.heads // cfg.kv_heads  # query heads per kv head
     q = q.reshape(b, t, cfg.kv_heads, g, cfg.head_dim)
-    logits = jnp.einsum("bqhgd,bkhd->bhgqk", q, k, preferred_element_type=jnp.float32)
+    if _ATTENTION_IMPL == "xla_bf16":
+        # bf16 logits (torch-autocast numerics): halves the dominant HBM
+        # traffic of ColPali's 1038^2 attention matrices
+        logits = jnp.einsum("bqhgd,bkhd->bhgqk", q, k).astype(jnp.float32)
+    else:
+        logits = jnp.einsum("bqhgd,bkhd->bhgqk", q, k, preferred_element_type=jnp.float32)
     logits = logits * (1.0 / math.sqrt(cfg.head_dim))
     logits = jnp.where(mask[:, None, None, :, :], logits, -1e30)
     attn = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
