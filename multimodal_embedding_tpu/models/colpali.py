@@ -195,38 +195,27 @@ def colpali_init(key, cfg: ColPaliConfig, image_suffix_ids: np.ndarray, dtype=jn
     }
 
 
-def colpali_hf_query_tokenizer(info: ModelInfo, max_len: int = 64):
-    """ColPaliProcessor query semantics: 'Query: {q}' + 10 query-augmentation
-    pad tokens + newline, left-padded batch."""
-    from transformers import AutoProcessor
-
-    proc = AutoProcessor.from_pretrained(info.hf_id, trust_remote_code=info.trust_remote_code)
-
-    def tokenize(texts: list[str]):
-        out = proc.process_queries(texts)
-        ids = out["input_ids"].numpy().astype(np.int32)
-        mask = out["attention_mask"].numpy().astype(np.int32)
-        return ids, mask
-
-    return tokenize
-
-
 def load_colpali(info: ModelInfo, dtype=jnp.bfloat16, checkpoint_dir: str | None = None):
     import torch
     from transformers import AutoProcessor, ColPaliForRetrieval
 
+    from .colpali_processing import (
+        colpali_query_tokenizer,
+        image_prompt_suffix_ids,
+        prompts_from_processor,
+    )
     from .zoo import LoadedModel
 
     src = checkpoint_dir or info.hf_id
     hf = ColPaliForRetrieval.from_pretrained(src, torch_dtype=torch.float32)
     cfg = colpali_config_from_hf(hf.config)
 
+    # Only the raw tokenizer + prompt-scheme constants come from the HF
+    # processor; the query/image wrapping itself is ours
+    # (colpali_processing.py, parity-tested vs ColPaliProcessor).
     proc = AutoProcessor.from_pretrained(src, trust_remote_code=info.trust_remote_code)
-    # token ids of the fixed textual suffix appended after the image tokens
-    suffix_text = "<bos>Describe the image.\n"
-    suffix_ids = proc.tokenizer(
-        "Describe the image.\n", add_special_tokens=True, return_tensors="np"
-    )["input_ids"][0].astype(np.int32)
+    prompts = prompts_from_processor(proc)
+    suffix_ids = image_prompt_suffix_ids(proc.tokenizer, prompts)
 
     params = colpali_params_from_hf(hf.state_dict(), cfg, suffix_ids)
     del hf
@@ -236,7 +225,7 @@ def load_colpali(info: ModelInfo, dtype=jnp.bfloat16, checkpoint_dir: str | None
         cfg=cfg,
         params=params,
         preprocess=info.preprocess,
-        tokenize=colpali_hf_query_tokenizer(info),
+        tokenize=colpali_query_tokenizer(proc.tokenizer, prompts),
         multi_vector=True,
     )
 

@@ -62,17 +62,23 @@ class LoadedModel:
 
 
 def hf_tokenizer(info: ModelInfo):
-    """Tokenize with the model's own HF tokenizer (CLIP: pad+truncate to 77,
-    reference main.py:427; SigLIP: pad to max_length 64, no attention mask)."""
+    """Tokenize with the model's own HF tokenizer.
+
+    SigLIP pads to max_length 64 like its HF processor. CLIP uses
+    ``padding=True`` in the reference (main.py:427); we pad to the fixed 77
+    instead for static TPU shapes — numerically identical because CLIP pools
+    at the first-EOS position (``ids.argmax``: pad == eos, causal attention
+    means later pads cannot influence it). ColPali does not come through
+    here (its prompt wrapping lives in colpali_processing.py).
+    """
     from transformers import AutoTokenizer
 
     tok = AutoTokenizer.from_pretrained(info.hf_id, trust_remote_code=info.trust_remote_code)
-    pad_to_max = info.type in ("siglip", "colpali")
 
     def tokenize(texts: list[str]):
         out = tok(
             texts,
-            padding="max_length" if pad_to_max else "max_length",
+            padding="max_length",
             truncation=True,
             max_length=info.text_max_len,
             return_tensors="np",
