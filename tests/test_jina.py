@@ -1,8 +1,11 @@
-"""Structural tests for the Jina-CLIP towers (EVA02 + JinaBERT).
+"""Jina-CLIP tower tests: numerical parity vs an independent torch
+reference (tests/jina_torch_reference.py, written separately from
+models/jina.py), strict-converter drift detection, and architecture-level
+structural invariants.
 
 The real checkpoint needs trust_remote_code (unavailable offline, see
-models/jina.py), so these validate architecture-level invariants instead of
-HF parity.
+models/jina.py); the torch reference doubles as a synthetic state dict with
+the real checkpoint's key naming.
 """
 
 import math
@@ -13,6 +16,8 @@ import pytest
 import jax
 import jax.numpy as jnp
 
+torch = pytest.importorskip("torch")
+
 from multimodal_embedding_tpu.models.jina import (
     JinaClipConfig,
     alibi_slopes,
@@ -21,6 +26,8 @@ from multimodal_embedding_tpu.models.jina import (
     eva02_init,
     jina_bert_apply,
     jina_bert_init,
+    jina_config_from_sd,
+    jina_params_from_hf,
 )
 
 
@@ -87,6 +94,91 @@ def test_jina_bert_alibi_position_sensitivity(jina_setup, rng):
     rev = ids[:, ::-1].copy()
     e3 = np.asarray(jina_bert_apply(tparams, cfg.text, jnp.asarray(rev), jnp.asarray(mask)))
     np.testing.assert_allclose(e1, e3, atol=1e-5)
+
+
+# --- numerical parity vs the independent torch reference -----------------------
+
+
+@pytest.fixture(scope="module")
+def jina_torch_pair():
+    """Torch reference model (real-checkpoint key naming, 64-d heads so the
+    config derivation path is exercised) + converted JAX params."""
+    from tests.jina_torch_reference import Eva02Torch, JinaBertTorch, JinaClipTorch
+
+    torch.manual_seed(0)
+    vision = Eva02Torch(
+        image_size=32, patch_size=16, dim=128, layers=2, heads=2,
+        mlp_dim=160, proj_dim=64,
+    )
+    with torch.no_grad():
+        vision.cls_token.normal_(std=0.02)
+        vision.pos_embed.normal_(std=0.02)
+    bert = JinaBertTorch(vocab=128, dim=128, layers=2, heads=2, mlp_dim=192)
+    model = JinaClipTorch(vision, bert).eval()
+
+    sd = model.state_dict()
+    cfg = jina_config_from_sd(sd)
+    params = jina_params_from_hf(sd, cfg)
+    return model, cfg, params
+
+
+def test_jina_config_derivation(jina_torch_pair):
+    _, cfg, _ = jina_torch_pair
+    assert cfg.vision.dim == 128 and cfg.vision.heads == 2 and cfg.vision.layers == 2
+    assert cfg.vision.image_size == 32 and cfg.vision.proj_dim == 64
+    assert cfg.vision.mlp_dim == 160
+    assert cfg.text.vocab_size == 128 and cfg.text.mlp_dim == 192
+    assert cfg.text.heads == 2 and cfg.text.layers == 2
+
+
+def test_eva02_numerical_parity(jina_torch_pair, rng):
+    model, cfg, params = jina_torch_pair
+    px = rng.standard_normal((2, 32, 32, 3)).astype(np.float32)
+    with torch.no_grad():
+        ref = model.encode_image(torch.from_numpy(px.transpose(0, 3, 1, 2))).numpy()
+    ours = np.asarray(eva02_apply(params["vision"], cfg.vision, jnp.asarray(px)))
+    np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_jina_bert_numerical_parity(jina_torch_pair, rng):
+    model, cfg, params = jina_torch_pair
+    ids = rng.integers(1, 128, size=(3, 12)).astype(np.int64)
+    mask = np.ones((3, 12), np.int64)
+    mask[1, 9:] = 0  # right padding
+    with torch.no_grad():
+        ref = model.encode_text(torch.from_numpy(ids), torch.from_numpy(mask)).numpy()
+    ours = np.asarray(
+        jina_bert_apply(params["text"], cfg.text, jnp.asarray(ids), jnp.asarray(mask))
+    )
+    np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_converter_fails_loudly_on_missing_key(jina_torch_pair):
+    model, cfg, _ = jina_torch_pair
+    sd = dict(model.state_dict())
+    del sd["vision_model.blocks.1.mlp.w3.weight"]
+    with pytest.raises(KeyError, match="blocks.1.mlp.w3.weight"):
+        jina_params_from_hf(sd, cfg)
+
+
+def test_converter_fails_loudly_on_unknown_key(jina_torch_pair):
+    model, cfg, _ = jina_torch_pair
+    sd = dict(model.state_dict())
+    sd["text_model.transformer.encoder.layer.0.mlp.extra_gate.weight"] = (
+        sd["text_model.transformer.encoder.layer.0.mlp.wo.bias"]
+    )
+    with pytest.raises(ValueError, match="extra_gate"):
+        jina_params_from_hf(sd, cfg)
+
+
+def test_converter_ignores_known_non_weights(jina_torch_pair):
+    """Rope buffers / pooler / logit_scale in the checkpoint must not trip
+    the strict leftover check (pooler.* is present in the reference sd)."""
+    model, cfg, _ = jina_torch_pair
+    sd = dict(model.state_dict())
+    sd["logit_scale"] = torch.tensor(2.6592)
+    sd["vision_model.rope.freqs_cos"] = torch.zeros(4)
+    jina_params_from_hf(sd, cfg)  # no raise
 
 
 def test_jina_cli_end_to_end(tmp_path):
