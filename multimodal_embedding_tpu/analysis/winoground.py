@@ -27,7 +27,14 @@ logger = logging.getLogger("mme_tpu")
 
 
 def load_winoground(sample_size: int | None = None, synthetic: bool = False, seed: int = 42):
-    """Records: {'image_0','image_1': uint8 HWC, 'caption_0','caption_1': str}."""
+    """Records: {'image_0','image_1': uint8 HWC, 'caption_0','caption_1': str}.
+
+    facebook/winoground is a GATED HF dataset (the reference documents
+    needing auth): the token is taken from HF_TOKEN / HUGGING_FACE_HUB_TOKEN,
+    and an unauthenticated or offline load degrades to a skip-with-warning
+    (empty record list -> run_winoground returns {} and the benchmark row
+    simply has no Wino columns) instead of crashing the model loop.
+    """
     if synthetic:
         from ..data.synthetic import synthetic_retrieval_dataset
 
@@ -41,9 +48,19 @@ def load_winoground(sample_size: int | None = None, synthetic: bool = False, see
             }
             for i in range((sample_size or 40))
         ]
+    import os
+
     from datasets import load_dataset
 
-    ds = load_dataset("facebook/winoground", split="test")
+    token = os.environ.get("HF_TOKEN") or os.environ.get("HUGGING_FACE_HUB_TOKEN")
+    try:
+        ds = load_dataset("facebook/winoground", split="test", token=token)
+    except Exception as e:
+        logger.warning(
+            "Winoground unavailable (gated dataset — set HF_TOKEN to "
+            "authenticate); skipping: %s", e,
+        )
+        return []
     if sample_size is not None and sample_size < len(ds):
         ds = ds.select(range(sample_size))
     return [
