@@ -111,10 +111,10 @@ def compute_score_matrices(
     txt_all = engine.encode_texts(all_captions)
     encoding_time = time.perf_counter() - t0
 
+    smesh = mesh if mesh is not None and mesh.devices.size > 1 else None
     if model.multi_vector:
         # no masks: pad-token embeddings are zeroed by the model (COMPAT.md
         # item 8), reproducing colpali_engine's scoring exactly
-        smesh = mesh if mesh is not None and mesh.devices.size > 1 else None
         s_t2i = late_interaction_scores(
             txt_t2i.embeddings, img.embeddings, impl=maxsim_impl, mesh=smesh
         )
@@ -122,8 +122,8 @@ def compute_score_matrices(
             img.embeddings, txt_all.embeddings, impl=maxsim_impl, mesh=smesh
         )
     else:
-        s_t2i = dense_scores(txt_t2i.embeddings, img.embeddings)
-        s_i2t = dense_scores(img.embeddings, txt_all.embeddings)
+        s_t2i = dense_scores(txt_t2i.embeddings, img.embeddings, mesh=smesh)
+        s_i2t = dense_scores(img.embeddings, txt_all.embeddings, mesh=smesh)
     return s_t2i, s_i2t, encoding_time
 
 

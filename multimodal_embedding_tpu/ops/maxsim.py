@@ -222,7 +222,7 @@ def maxsim_scores(
     if mesh is not None and int(mesh.shape["data"]) > 1:
         from functools import partial
 
-        from jax.experimental.shard_map import shard_map
+        from jax import shard_map
         from jax.sharding import PartitionSpec as P
 
         nq = q.shape[0]
@@ -245,7 +245,7 @@ def maxsim_scores(
             mesh=mesh,
             in_specs=(P("data"), P(), P("data"), P()),
             out_specs=P("data"),
-            check_rep=False,
+            check_vma=False,
         )
         dm = d_mask if d_mask is not None else jnp.ones(d.shape[:2], jnp.bool_)
         return fn(qp, d, qmp, dm)[:nq]

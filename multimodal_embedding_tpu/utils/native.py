@@ -48,16 +48,33 @@ def _load() -> "ctypes.CDLL | None":
 
 
 def hwc_to_chw_batch(
-    images: list[np.ndarray], out: np.ndarray | None = None, n_threads: int | None = None
+    images: list[np.ndarray],
+    out: np.ndarray | None = None,
+    n_threads: int | None = None,
+    impl: str = "auto",
 ) -> np.ndarray:
-    """Pack HWC uint8 images of one geometry into a [N, 3, H, W] buffer."""
+    """Pack HWC uint8 images of one geometry into a [N, 3, H, W] buffer.
+
+    impl: 'auto' picks the native threaded kernel on >2-core hosts (a
+    single-threaded numpy copy beats the scalar C loop; the kernel wins by
+    threading), 'native' forces the C++ kernel (raises if unbuildable),
+    'numpy' forces the fallback — the explicit modes exist so tests can
+    assert on each path.
+    """
+    assert impl in ("auto", "native", "numpy")
     n = len(images)
     h, w, _ = images[0].shape
     if out is None:
         out = np.empty((n, 3, h, w), np.uint8)
     threads_avail = os.cpu_count() or 1
-    lib = _load() if threads_avail > 2 else None  # single-threaded numpy copy
-    # is faster than the scalar C loop; the native kernel wins by threading
+    if impl == "numpy":
+        lib = None
+    elif impl == "native":
+        lib = _load()
+        if lib is None:
+            raise RuntimeError("native staging kernel requested but unavailable")
+    else:
+        lib = _load() if threads_avail > 2 else None
     if lib is None:
         for i, im in enumerate(images):
             out[i] = im.transpose(2, 0, 1)

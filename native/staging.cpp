@@ -41,7 +41,7 @@ void hwc_to_chw_batch(const uint8_t** srcs, uint8_t* dst, int64_t n, int64_t h,
         return;
     }
     std::vector<std::thread> workers;
-    std::for_each(workers.begin(), workers.end(), [](std::thread& t) {});
+    workers.reserve(n_threads);
     for (int64_t t = 0; t < n_threads; ++t) {
         workers.emplace_back([=]() {
             for (int64_t i = t; i < n; i += n_threads)

@@ -73,6 +73,36 @@ def test_cli_colpali_end_to_end(tmp_path):
         assert 0.0 <= row[f"{m}_mean"] <= 100.0
 
 
+def test_cli_mesh_vs_single_device_identical(tmp_path, monkeypatch):
+    """The full CLI path (preprocess, encode, dense scoring, bootstrap) on
+    the 8-device mesh must produce metrics identical to a 1-device run —
+    every benchmark stage is provably sharding-invariant (SURVEY.md §7.1(5))."""
+    import jax
+
+    import multimodal_embedding_tpu.cli.main as cli_main
+    from multimodal_embedding_tpu.parallel.mesh import get_mesh
+
+    args = [
+        "--dataset", "synthetic", "--debug-models",
+        "--models", "OpenAI-CLIP-L,ColPali-v1.3",
+        "--sample-size", "24", "--bootstrap-iterations", "6",
+    ]
+    out_mesh = tmp_path / "mesh8.csv"
+    assert main(args + ["--output", str(out_mesh)]) == 0
+
+    single = get_mesh(n_data=1, devices=jax.devices()[:1])
+    monkeypatch.setattr(cli_main, "get_mesh", lambda **kw: single)
+    out_one = tmp_path / "mesh1.csv"
+    assert main(args + ["--output", str(out_one)]) == 0
+
+    a, b = pd.read_csv(out_mesh), pd.read_csv(out_one)
+    for i in range(len(a)):
+        for col in a.columns:
+            if col.endswith(("_mean", "_lower", "_upper", "_std")):
+                assert a.iloc[i][col] == b.iloc[i][col], (a.iloc[i]["Model"], col)
+        assert a.iloc[i]["_failure_analysis"] == b.iloc[i]["_failure_analysis"]
+
+
 def test_cli_determinism(tmp_path):
     """Two identical runs must produce bit-identical metrics (explicit PRNG
     threading replaces the reference's global seeding, SURVEY.md §5.2)."""

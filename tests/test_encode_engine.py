@@ -59,6 +59,43 @@ def test_cached_rebatching(setup):
     np.testing.assert_allclose(e8, e4, rtol=1e-5, atol=1e-5)
 
 
+def test_multivector_padded_text_batch(setup):
+    """ColPali text path with a batch-padded final chunk (n % wide-batch != 0):
+    embeddings AND the returned token mask must be trimmed consistently, and
+    each row must equal its single-text encoding (models/encode.py pads the
+    last chunk by repeating the final row)."""
+    _, mesh, _ = setup
+    cp = load_debug_model(model_info("ColPali-v1.3"), seed=0)
+    eng = EncodingEngine(cp, mesh, batch_size=4)
+    texts = [f"query with {i} words " + "pad " * (i % 3) for i in range(10)]
+    out = eng.encode_texts(texts)  # wide text batch is 128 -> one padded chunk
+    assert out.embeddings.shape[0] == 10
+    assert out.mask is not None and out.mask.shape[0] == 10
+    assert out.mask.shape[1] == out.embeddings.shape[1]  # [N, T] vs [N, T, D]
+    for i in (0, 7, 9):
+        single = eng.encode_texts([texts[i]])
+        np.testing.assert_allclose(
+            np.asarray(out.embeddings[i]), np.asarray(single.embeddings[0]),
+            rtol=1e-5, atol=1e-6,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(out.mask[i]), np.asarray(single.mask[0])
+        )
+
+
+def test_multivector_maskless_tokenizer(setup):
+    """A multi-vector model whose tokenizer yields no attention mask must
+    come back with mask=None (downstream MaxSim treats all tokens valid)."""
+    _, mesh, _ = setup
+    cp = load_debug_model(model_info("ColPali-v1.3"), seed=0)
+    base_tok = cp.tokenize
+    cp.tokenize = lambda texts: (base_tok(texts)[0], None)
+    eng = EncodingEngine(cp, mesh, batch_size=4)
+    out = eng.encode_texts([f"maskless query {i}" for i in range(5)])
+    assert out.embeddings.shape[0] == 5
+    assert out.mask is None
+
+
 def test_text_encoding_batching(setup):
     model, mesh, _ = setup
     eng = EncodingEngine(model, mesh, batch_size=8)
@@ -73,23 +110,24 @@ def test_text_encoding_batching(setup):
 
 
 def test_native_staging_kernel_equivalence(rng):
-    """Native HWC->CHW kernel (if buildable) must match numpy exactly."""
+    """BOTH staging implementations run and agree: the numpy fallback and the
+    C++ kernel (single- and multi-threaded paths), forced explicitly so the
+    test does not silently cover only whichever path 'auto' picks on this
+    host's core count."""
     from multimodal_embedding_tpu.utils.native import _load, hwc_to_chw_batch
 
     imgs = [rng.integers(0, 256, (37, 53, 3), dtype=np.uint8) for _ in range(5)]
     ref = np.stack([im.transpose(2, 0, 1) for im in imgs])
-    np.testing.assert_array_equal(hwc_to_chw_batch(imgs), ref)
-    lib = _load()
-    if lib is not None:  # force the native path regardless of core count
-        import ctypes
+    np.testing.assert_array_equal(hwc_to_chw_batch(imgs, impl="numpy"), ref)
 
-        out = np.empty((5, 3, 37, 53), np.uint8)
-        contig = [np.ascontiguousarray(im) for im in imgs]
-        ptrs = (ctypes.c_void_p * 5)(
-            *[im.ctypes.data_as(ctypes.c_void_p).value for im in contig]
-        )
-        lib.hwc_to_chw_batch(ptrs, out.ctypes.data_as(ctypes.c_void_p), 5, 37, 53, 3)
-        np.testing.assert_array_equal(out, ref)
+    # the toolchain is part of this environment: the kernel must build
+    assert _load() is not None, "native staging kernel failed to build"
+    np.testing.assert_array_equal(
+        hwc_to_chw_batch(imgs, impl="native", n_threads=1), ref
+    )
+    np.testing.assert_array_equal(
+        hwc_to_chw_batch(imgs, impl="native", n_threads=3), ref
+    )
 
 
 def test_sharded_batch_apply(setup):
