@@ -77,14 +77,20 @@ def parse_args(argv=None):
                         "on reruns of the same model+dataset)")
     p.add_argument("--profile-dir", type=str, default=None,
                    help="Capture a jax.profiler trace of each model's benchmark")
-    p.add_argument("--attention-impl", type=str, default="xla", choices=["xla", "xla_bf16", "flash"],
+    p.add_argument("--attention-impl", type=str, default="xla",
+                   choices=["xla", "xla_bf16", "pallas", "flash"],
                    help="Tower self-attention: f32-logit SDPA, bf16-logit SDPA "
-                        "(torch-autocast numerics, ~12%% faster), or Pallas flash")
+                        "(torch-autocast numerics, ~12%% faster), fused "
+                        "softmax-in-VMEM Pallas kernel, or Pallas flash")
     p.add_argument("--preprocess-impl", type=str, default="xla", choices=["xla", "pallas"],
                    help="Device preprocessing: XLA matmuls or the fused Pallas kernel")
     p.add_argument("--native-cache-dir", type=str, default=None,
                    help="Persist HF->JAX converted weights as native .npz; later "
                         "runs load torch-free")
+    p.add_argument("--tensor-parallel", type=int, default=1,
+                   help="Model-axis size of the device mesh: params are "
+                        "Megatron column/row-split across this many chips "
+                        "(parallel/tp.py); the data axis gets the rest")
     return p.parse_args(argv)
 
 
@@ -218,7 +224,7 @@ def main(argv=None) -> int:
 
         set_attention_impl(args.attention_impl)
 
-    mesh = get_mesh()
+    mesh = get_mesh(n_model=args.tensor_parallel)
     logger.info(f"Device mesh: {dict(mesh.shape)} over {mesh.devices.size} devices")
 
     records = load_benchmark_dataset(

@@ -143,7 +143,14 @@ class EncodingEngine:
         self.mesh = mesh
         n_data = mesh.shape["data"]
         self.batch_size = max(batch_size, n_data) // n_data * n_data
-        self.params = jax.device_put(model.params, replicated_sharding(mesh))
+        if int(mesh.shape.get("model", 1)) > 1:
+            # tensor parallelism: Megatron column/row param splits on the
+            # model axis; GSPMD inserts the collectives (parallel/tp.py)
+            from ..parallel.tp import shard_params_tp
+
+            self.params = shard_params_tp(model.params, mesh)
+        else:
+            self.params = jax.device_put(model.params, replicated_sharding(mesh))
         if transport == "auto":
             transport = "host" if measure_put_bandwidth_mbps() < 1000.0 else "device"
         self.transport = transport

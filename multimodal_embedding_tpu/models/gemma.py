@@ -61,8 +61,17 @@ def _rope(x: jax.Array, positions: jax.Array, theta: float) -> jax.Array:
 
 
 def _attn(
-    p: Params, cfg: GemmaConfig, x: jax.Array, positions: jax.Array, mask: jax.Array
+    p: Params,
+    cfg: GemmaConfig,
+    x: jax.Array,
+    positions: jax.Array,
+    key_mask: jax.Array,
+    causal: bool,
 ) -> jax.Array:
+    """Self-attention over [B, T, D]. Masking is separable: a dynamic
+    key-validity mask [B, T] (True = attend) plus a static causal flag —
+    covers both the PaliGemma prefix-LM inference mask (full attention among
+    valid tokens) and the training/prefill causal mask."""
     b, t, _ = x.shape
     q = jnp.dot(x, p["q"], preferred_element_type=jnp.float32).astype(x.dtype)
     k = jnp.dot(x, p["k"], preferred_element_type=jnp.float32).astype(x.dtype)
@@ -74,7 +83,26 @@ def _attn(
     q = _rope(q, positions, cfg.rope_theta)
     k = _rope(k, positions, cfg.rope_theta)
 
-    from .layers import _ATTENTION_IMPL
+    from .layers import _ATTENTION_IMPL, attention_interpret
+
+    if _ATTENTION_IMPL == "pallas":
+        from ..ops.attention_pallas import fused_attention
+
+        out = fused_attention(
+            jnp.swapaxes(q, 1, 2),
+            jnp.swapaxes(k, 1, 2),
+            jnp.swapaxes(v, 1, 2),
+            key_mask=key_mask,
+            causal=causal,
+            sm_scale=1.0 / math.sqrt(cfg.head_dim),
+            interpret=attention_interpret(),
+        )
+        out = jnp.swapaxes(out, 1, 2).astype(x.dtype).reshape(b, t, cfg.heads * cfg.head_dim)
+        return jnp.dot(out, p["o"], preferred_element_type=jnp.float32).astype(x.dtype)
+
+    mask = jnp.broadcast_to(key_mask[:, None, :], (b, t, t))
+    if causal:
+        mask = mask & jnp.tril(jnp.ones((t, t), bool))[None]
 
     g = cfg.heads // cfg.kv_heads  # query heads per kv head
     q = q.reshape(b, t, cfg.kv_heads, g, cfg.head_dim)
@@ -115,15 +143,14 @@ def gemma_apply(
     if attn_mask is None:
         attn_mask = jnp.ones((b, t), jnp.int32)
     positions = jnp.broadcast_to(jnp.cumsum(attn_mask, axis=-1) - 1, (b, t))
-    # key-validity mask [B, Tq, Tk]
-    mask = jnp.broadcast_to((attn_mask > 0)[:, None, :], (b, t, t))
-    if causal:
-        mask = mask & jnp.tril(jnp.ones((t, t), bool))[None]
+    key_mask = attn_mask > 0
 
     x = inputs_embeds
 
     def body(h, lp):
-        a = _attn(lp["attn"], cfg, rms_norm(lp["ln1"], h, cfg.rms_eps), positions, mask)
+        a = _attn(
+            lp["attn"], cfg, rms_norm(lp["ln1"], h, cfg.rms_eps), positions, key_mask, causal
+        )
         h = h + a
         m = _mlp(lp["mlp"], rms_norm(lp["ln2"], h, cfg.rms_eps))
         return h + m, None
@@ -155,9 +182,7 @@ def gemma_prefill(
     """
     b, t = input_ids.shape
     positions = jnp.cumsum(attn_mask, axis=-1) - 1
-    mask = jnp.broadcast_to((attn_mask > 0)[:, None, :], (b, t, t)) & jnp.tril(
-        jnp.ones((t, t), bool)
-    )[None]
+    key_mask = attn_mask > 0
     x = gemma_embed(params, cfg, input_ids)
 
     def body(h, lp):
@@ -166,7 +191,7 @@ def gemma_prefill(
         v = jnp.dot(y, lp["attn"]["v"], preferred_element_type=jnp.float32).astype(h.dtype)
         k = _rope(k.reshape(b, t, cfg.kv_heads, cfg.head_dim), positions, cfg.rope_theta)
         v = v.reshape(b, t, cfg.kv_heads, cfg.head_dim)
-        a = _attn(lp["attn"], cfg, y, positions, mask)
+        a = _attn(lp["attn"], cfg, y, positions, key_mask, True)
         h = h + a
         m = _mlp(lp["mlp"], rms_norm(lp["ln2"], h, cfg.rms_eps))
         return h + m, (k, v)

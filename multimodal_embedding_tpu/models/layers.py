@@ -74,6 +74,9 @@ ACTIVATIONS = {
 #                numerics (what the reference actually ran on the A40) and is
 #                ~12% faster on v5e (92 vs 82 TFLOPS measured, CLS cosine
 #                >= 0.99995 vs f32)
+#  - "pallas":   fused softmax-in-VMEM kernel (ops/attention_pallas.py) —
+#                f32-softmax numerics of "xla" without the [B,H,T,T] logits
+#                HBM round-trips that cap the towers at ~40% MFU
 #  - "flash":    the official Pallas TPU flash-attention kernel (online
 #                softmax, no [T, T] logits in HBM) — measured SLOWER at ViT
 #                scale; useful for long sequences.
@@ -81,11 +84,18 @@ ACTIVATIONS = {
 # set_attention_impl() (the CLI exposes --attention-impl).
 _ATTENTION_IMPL = "xla"
 
+ATTENTION_IMPLS = ("xla", "xla_bf16", "pallas", "flash")
+
 
 def set_attention_impl(impl: str) -> None:
     global _ATTENTION_IMPL
-    assert impl in ("xla", "xla_bf16", "flash")
+    assert impl in ATTENTION_IMPLS
     _ATTENTION_IMPL = impl
+
+
+def attention_interpret() -> bool:
+    """Pallas kernels run in interpret mode off-TPU (CPU tests)."""
+    return jax.default_backend() != "tpu"
 
 
 def _flash_sdpa(q: jax.Array, k: jax.Array, v: jax.Array, causal: bool) -> jax.Array:
@@ -143,6 +153,20 @@ def mha(
 
     if _ATTENTION_IMPL == "flash" and self_attn and mask is None:
         out = _flash_sdpa(q, k, v, causal).astype(x.dtype).reshape(b, tq, d)
+        return linear(p["o"], out)
+
+    if _ATTENTION_IMPL == "pallas":
+        from ..ops.attention_pallas import fused_attention
+
+        out = fused_attention(
+            jnp.swapaxes(q, 1, 2),
+            jnp.swapaxes(k, 1, 2),
+            jnp.swapaxes(v, 1, 2),
+            key_mask=mask,
+            causal=causal,
+            interpret=attention_interpret(),
+        )
+        out = jnp.swapaxes(out, 1, 2).astype(x.dtype).reshape(b, tq, d)
         return linear(p["o"], out)
 
     if _ATTENTION_IMPL == "xla_bf16":

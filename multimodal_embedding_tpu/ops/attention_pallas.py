@@ -1,0 +1,176 @@
+"""Fused softmax-in-VMEM attention kernel for the encoder/decoder towers.
+
+Motivation (measured in PERF.md): at ViT-L scale (seq 577, head_dim 64) the
+XLA SDPA materializes the [B, H, T, T] logits and attention-probability
+tensors in HBM — for batch 32 that is ~0.7 GB of float32 written + re-read
+*per layer*, which roughly doubles layer latency versus the pure-matmul
+roofline and pins the image towers at ~40% MFU. The official Pallas flash
+kernel is slower still at this scale (online-softmax bookkeeping + padding
+for logits that are only ~1.3 MB/head).
+
+This kernel takes the third design point: the full logits row block fits in
+VMEM at these sequence lengths, so compute QK^T -> masked f32 softmax ->
+(P)V per (batch, head, query-block) grid cell without ever writing logits to
+HBM. No online softmax, no rescaling passes — one MXU matmul, a VPU softmax
+in registers/VMEM, one MXU matmul, write [BQ, Dh].
+
+Semantics match ``layers.mha`` / ``gemma._attn`` XLA paths exactly:
+f32 QK^T accumulation, f32 softmax with finite ``-1e30`` masking, probability
+cast to the value dtype before the PV matmul (reference torch models run
+softmax in f32 under bf16 autocast the same way, reference main.py:93).
+
+Supports:
+- self or cross attention (Tq != Tk)
+- grouped/multi-query attention (kv_heads divides heads — Gemma MQA)
+- a dynamic key-validity mask [B, Tk] plus a static causal flag
+  (every mask the model zoo builds is separable into these two)
+
+Used for all tower self-attention via ``--attention-impl pallas``
+(layers.set_attention_impl); the XLA paths remain for CPU tests and parity.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _ceil_to(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _attn_kernel(
+    q_ref, k_ref, v_ref, km_ref, o_ref, *, sm_scale: float, causal: bool, tk_valid: int, block_q: int
+):
+    """One (batch, head, query-block) grid cell.
+
+    q_ref: [1, 1, BQ, Dh]   query rows (model dtype)
+    k_ref: [1, 1, Tk, Dh]   all keys for this (batch, kv-head)
+    v_ref: [1, 1, Tk, Dh]   all values
+    km_ref: [1, 1, Tk]      int32 key-validity mask (1 = attend; the middle
+                            singleton keeps the block TPU-tileable)
+    o_ref: [1, 1, BQ, Dh]   output rows
+    """
+    iq = pl.program_id(2)
+
+    q = q_ref[0, 0]  # [BQ, Dh]
+    k = k_ref[0, 0]  # [Tk, Dh]
+    logits = jax.lax.dot_general(
+        q, k, dimension_numbers=(((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    logits = logits * sm_scale  # [BQ, Tk]
+
+    col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+    valid = col < tk_valid  # static sequence-padding mask
+    valid &= km_ref[0] != 0  # [1, Tk] broadcasts over rows
+    if causal:
+        row = iq * block_q + jax.lax.broadcasted_iota(jnp.int32, logits.shape, 0)
+        valid &= col <= row
+    logits = jnp.where(valid, logits, NEG_INF)
+
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    p = jnp.exp(logits - m)
+    attn = p / jnp.sum(p, axis=-1, keepdims=True)
+    # Fully-masked rows (left-padded queries under causal masking) get exact
+    # zeros — deterministic, and confined to positions every downstream
+    # consumer masks out. (The XLA paths leave a uniform average there.)
+    any_valid = jnp.max(valid.astype(jnp.float32), axis=-1, keepdims=True)
+    attn = attn * any_valid
+
+    v = v_ref[0, 0]  # [Tk, Dh]
+    out = jax.lax.dot_general(
+        attn.astype(v.dtype),
+        v,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[0, 0] = out.astype(o_ref.dtype)
+
+
+# VMEM budget for the f32 logits + low-precision probability block per grid
+# cell (v5e VMEM is 16 MB less double-buffered k/v tiles).
+_LOGITS_VMEM_BUDGET = 6 * 2**20
+
+
+@functools.partial(
+    jax.jit, static_argnames=("causal", "sm_scale", "block_q", "interpret")
+)
+def fused_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    key_mask: jax.Array | None = None,
+    *,
+    causal: bool = False,
+    sm_scale: float | None = None,
+    block_q: int | None = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """Fused attention. q [B, H, Tq, Dh]; k, v [B, KVH, Tk, Dh] with
+    KVH | H (grouped-query). key_mask [B, Tk] bool/int (True = attend).
+    Returns [B, H, Tq, Dh] in q.dtype.
+    """
+    b, h, tq, dh = q.shape
+    _, kvh, tk, _ = k.shape
+    assert h % kvh == 0, (h, kvh)
+    g = h // kvh
+    if sm_scale is None:
+        sm_scale = 1.0 / (dh**0.5)
+
+    tkp = _ceil_to(tk, 128)  # logits lane dim
+    if block_q is None:
+        rows_budget = max(128, _LOGITS_VMEM_BUDGET // (6 * tkp) // 8 * 8)
+        n_q_blocks = -(-_ceil_to(tq, 8) // rows_budget)
+        block_q = _ceil_to(-(-tq // n_q_blocks), 8)
+    tqp = _ceil_to(tq, block_q)
+
+    qp = jnp.pad(q, ((0, 0), (0, 0), (0, tqp - tq), (0, 0)))
+    kp = jnp.pad(k, ((0, 0), (0, 0), (0, tkp - tk), (0, 0)))
+    vp = jnp.pad(v, ((0, 0), (0, 0), (0, tkp - tk), (0, 0)))
+    if key_mask is None:
+        km = jnp.ones((b, 1, tkp), jnp.int32)
+    else:
+        km = jnp.pad(key_mask.astype(jnp.int32), ((0, 0), (0, tkp - tk)))[:, None, :]
+
+    grid = (b, h, tqp // block_q)
+    kernel = functools.partial(
+        _attn_kernel, sm_scale=float(sm_scale), causal=causal, tk_valid=tk, block_q=block_q
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, block_q, dh), lambda bi, hi, qi: (bi, hi, qi, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, 1, tkp, dh), lambda bi, hi, qi, _g=g: (bi, hi // _g, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, tkp, dh), lambda bi, hi, qi, _g=g: (bi, hi // _g, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((1, 1, tkp), lambda bi, hi, qi: (bi, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, block_q, dh), lambda bi, hi, qi: (bi, hi, qi, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, h, tqp, dh), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * tqp * tkp * dh,
+            bytes_accessed=2 * (b * h * tqp * dh * 2 + b * kvh * tkp * dh * 2),
+            transcendentals=b * h * tqp * tkp,
+        ),
+        interpret=interpret,
+    )(qp, kp, vp, km)
+    return out[:, :, :tq]

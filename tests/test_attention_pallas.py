@@ -1,0 +1,136 @@
+"""Fused attention kernel (interpret mode on CPU) vs the XLA SDPA paths.
+
+The kernel must be numerically interchangeable with the default "xla"
+implementation (f32 QK^T + f32 softmax + bf16 PV): these tests drive it
+through the raw op, through ``layers.mha`` and through the Gemma decoder
+(MQA + prefix-LM / causal masking), on odd (pad-exercising) shapes.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from multimodal_embedding_tpu.models import layers
+from multimodal_embedding_tpu.ops.attention_pallas import fused_attention
+
+
+def _sdpa_ref(q, k, v, key_mask=None, causal=False, sm_scale=None):
+    """Straight-line einsum reference. q [B,H,Tq,Dh], k/v [B,KVH,Tk,Dh]."""
+    b, h, tq, dh = q.shape
+    _, kvh, tk, _ = k.shape
+    if sm_scale is None:
+        sm_scale = 1.0 / np.sqrt(dh)
+    k = jnp.repeat(k, h // kvh, axis=1)
+    v = jnp.repeat(v, h // kvh, axis=1)
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32) * sm_scale
+    valid = jnp.ones((b, 1, tq, tk), bool)
+    if key_mask is not None:
+        valid &= key_mask[:, None, None, :].astype(bool)
+    if causal:
+        valid &= jnp.tril(jnp.ones((tq, tk), bool))[None, None]
+    logits = jnp.where(valid, logits, -1e30)
+    attn = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    return jnp.einsum("bhqk,bhkd->bhqd", attn, v, preferred_element_type=jnp.float32).astype(
+        q.dtype
+    )
+
+
+def _rand(key, shape, dtype=jnp.float32):
+    return jax.random.normal(key, shape, dtype)
+
+
+@pytest.mark.parametrize(
+    "b,h,kvh,tq,tk,dh,causal,masked",
+    [
+        (2, 4, 4, 37, 37, 64, False, False),  # ViT-like odd seq, pad both dims
+        (2, 4, 4, 37, 37, 64, False, True),  # key-validity mask
+        (1, 4, 4, 33, 33, 64, True, True),  # causal + mask (decoder prefill)
+        (2, 8, 1, 29, 29, 32, False, True),  # Gemma MQA prefix-LM
+        (2, 8, 2, 19, 19, 32, True, False),  # grouped-query causal
+        (2, 2, 2, 9, 41, 16, False, True),  # cross attention (Tq != Tk)
+        (1, 2, 2, 200, 200, 64, False, False),  # multi-q-block path
+    ],
+)
+def test_fused_attention_matches_reference(b, h, kvh, tq, tk, dh, causal, masked):
+    ks = jax.random.split(jax.random.key(0), 4)
+    q = _rand(ks[0], (b, h, tq, dh))
+    k = _rand(ks[1], (b, kvh, tk, dh))
+    v = _rand(ks[2], (b, kvh, tk, dh))
+    key_mask = None
+    if masked:
+        key_mask = jax.random.bernoulli(ks[3], 0.8, (b, tk))
+        key_mask = key_mask.at[:, 0].set(True)  # keep every row attendable
+
+    # force the multi-block query path on the long case
+    block_q = 64 if tq >= 200 else None
+    got = fused_attention(
+        q, k, v, key_mask=key_mask, causal=causal, block_q=block_q, interpret=True
+    )
+    want = _sdpa_ref(q, k, v, key_mask=key_mask, causal=causal)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5, rtol=2e-5)
+
+
+def test_fused_attention_bf16_matches_xla_numerics():
+    """bf16 q/k/v: kernel casts probabilities to bf16 before PV exactly like
+    the XLA path — results should agree to bf16 resolution."""
+    ks = jax.random.split(jax.random.key(1), 3)
+    q = _rand(ks[0], (2, 4, 37, 64), jnp.bfloat16)
+    k = _rand(ks[1], (2, 4, 37, 64), jnp.bfloat16)
+    v = _rand(ks[2], (2, 4, 37, 64), jnp.bfloat16)
+    got = fused_attention(q, k, v, interpret=True).astype(jnp.float32)
+    want = _sdpa_ref(q, k, v).astype(jnp.float32)
+    assert got.dtype == jnp.float32 and want.shape == got.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-2, rtol=2e-2)
+
+
+@pytest.fixture
+def pallas_impl():
+    layers.set_attention_impl("pallas")
+    yield
+    layers.set_attention_impl("xla")
+
+
+def test_mha_pallas_impl_matches_xla(pallas_impl):
+    from multimodal_embedding_tpu.models.layers import linear_init, mha
+
+    key = jax.random.key(2)
+    d, heads, t, bsz = 48, 4, 21, 3
+    ks = jax.random.split(key, 5)
+    p = {n: linear_init(k, d, d) for n, k in zip("qkvo", ks[:4])}
+    x = _rand(ks[4], (bsz, t, d))
+    mask = jnp.array([[True] * t, [True] * (t - 5) + [False] * 5, [True] * t])
+
+    got = mha(p, x, heads, mask=mask)
+    layers.set_attention_impl("xla")
+    want = mha(p, x, heads, mask=mask)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5, rtol=2e-5)
+
+    layers.set_attention_impl("pallas")
+    got_c = mha(p, x, heads, causal=True)
+    layers.set_attention_impl("xla")
+    want_c = mha(p, x, heads, causal=True)
+    np.testing.assert_allclose(np.asarray(got_c), np.asarray(want_c), atol=2e-5, rtol=2e-5)
+
+
+def test_gemma_pallas_impl_matches_xla(pallas_impl):
+    from multimodal_embedding_tpu.models.gemma import GemmaConfig, gemma_apply, gemma_init
+
+    cfg = GemmaConfig(
+        vocab_size=64, dim=32, layers=2, heads=4, kv_heads=1, head_dim=8, mlp_dim=64
+    )
+    params = gemma_init(jax.random.key(3), cfg)
+    x = _rand(jax.random.key(4), (2, 11, cfg.dim))
+    attn_mask = jnp.array([[0, 0, 1, 1, 1, 1, 1, 1, 1, 1, 1], [1] * 11], jnp.int32)
+
+    for causal in (False, True):
+        got = gemma_apply(params, cfg, x, attn_mask, causal=causal)
+        layers.set_attention_impl("xla")
+        want = gemma_apply(params, cfg, x, attn_mask, causal=causal)
+        layers.set_attention_impl("pallas")
+        # pad-query rows are garbage in both impls (kernel: zero attention;
+        # XLA: uniform average) — every consumer masks them; compare valid rows
+        valid = np.asarray(attn_mask, bool)
+        np.testing.assert_allclose(
+            np.asarray(got)[valid], np.asarray(want)[valid], atol=3e-5, rtol=3e-5
+        )

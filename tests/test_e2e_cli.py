@@ -103,6 +103,27 @@ def test_cli_mesh_vs_single_device_identical(tmp_path, monkeypatch):
         assert a.iloc[i]["_failure_analysis"] == b.iloc[i]["_failure_analysis"]
 
 
+def test_cli_tensor_parallel_runs_and_matches(tmp_path):
+    """--tensor-parallel 2 builds a (4, 2) mesh and Megatron-shards params.
+
+    TP changes float reduction orders (row-split contractions psum across
+    chips), so exact equality is proven at the embedding level in
+    tests/test_tp.py; here the full CLI must run and land within noise of the
+    data-parallel metrics."""
+    args = [
+        "--dataset", "synthetic", "--debug-models", "--models", "OpenAI-CLIP-L",
+        "--sample-size", "24", "--bootstrap-iterations", "6",
+    ]
+    out_dp = tmp_path / "dp.csv"
+    assert main(args + ["--output", str(out_dp)]) == 0
+    out_tp = tmp_path / "tp.csv"
+    assert main(args + ["--tensor-parallel", "2", "--output", str(out_tp)]) == 0
+
+    a, b = pd.read_csv(out_dp), pd.read_csv(out_tp)
+    for m in EXPECTED_METRICS:
+        assert abs(a.iloc[0][f"{m}_mean"] - b.iloc[0][f"{m}_mean"]) <= 3.0, m
+
+
 def test_cli_determinism(tmp_path):
     """Two identical runs must produce bit-identical metrics (explicit PRNG
     threading replaces the reference's global seeding, SURVEY.md §5.2)."""

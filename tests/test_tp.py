@@ -1,0 +1,106 @@
+"""Tensor parallelism (model-axis param sharding) on the virtual CPU mesh.
+
+Megatron-style column/row splits are pure sharding annotations — the forward
+functions are unchanged and GSPMD derives the collectives. These tests prove
+(a) the specs land where intended, (b) TP(+DP) outputs match the unsharded
+forward, for both the dual-encoder towers and the Gemma decoder.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from multimodal_embedding_tpu.models.gemma import GemmaConfig, gemma_apply, gemma_init
+from multimodal_embedding_tpu.models.towers import dual_encoder_init, encode_image, encode_text
+from multimodal_embedding_tpu.models.zoo import debug_dual_config
+from multimodal_embedding_tpu.parallel.mesh import get_mesh
+from multimodal_embedding_tpu.parallel.tp import shard_params_tp, tp_specs
+
+
+def test_tp_specs_place_column_and_row_splits():
+    cfg = debug_dual_config("dense")
+    params = dual_encoder_init(jax.random.key(0), cfg)
+    specs = tp_specs(params, n_model=4)
+    enc = specs["vision"]["encoder"]
+    assert enc["attn"]["q"]["w"] == P(None, None, "model")
+    assert enc["attn"]["q"]["b"] == P(None, "model")
+    assert enc["attn"]["o"]["w"] == P(None, "model", None)
+    assert enc["attn"]["o"]["b"] == P()
+    assert enc["mlp"]["fc1"]["w"] == P(None, None, "model")
+    assert enc["mlp"]["fc2"]["w"] == P(None, "model", None)
+    assert specs["vision"]["pos"] == P()
+    assert specs["text"]["tok"] == P()
+
+
+def test_tp_specs_fall_back_to_replication_on_indivisible_dims():
+    cfg = debug_dual_config("dense")
+    params = dual_encoder_init(jax.random.key(0), cfg)
+    # debug dims are 32/48-wide: a 7-way split divides nothing
+    specs = tp_specs(params, n_model=7)
+    flat = jax.tree.leaves(specs, is_leaf=lambda x: isinstance(x, P))
+    assert all(s == P() for s in flat)
+
+
+def test_tp_gemma_specs():
+    cfg = GemmaConfig(vocab_size=64, dim=32, layers=2, heads=4, kv_heads=1, head_dim=8, mlp_dim=64)
+    params = gemma_init(jax.random.key(0), cfg)
+    specs = tp_specs(params, n_model=4)
+    lay = specs["layers"]
+    assert lay["attn"]["q"] == P(None, None, "model")
+    assert lay["attn"]["o"] == P(None, "model", None)
+    assert lay["mlp"]["gate"] == P(None, None, "model")
+    assert lay["mlp"]["up"] == P(None, None, "model")
+    assert lay["mlp"]["down"] == P(None, "model", None)
+    assert specs["embed"] == P()
+
+
+def test_tp_dual_encoder_matches_unsharded():
+    cfg = debug_dual_config("dense")
+    params = dual_encoder_init(jax.random.key(0), cfg)
+    rng = np.random.default_rng(0)
+    n = 8
+    px = jnp.asarray(rng.normal(size=(n, cfg.vision.image_size, cfg.vision.image_size, 3)), jnp.float32)
+    ids = jnp.asarray(rng.integers(0, cfg.text.vocab_size, (n, cfg.text.max_len)), jnp.int32)
+
+    want_img = np.asarray(encode_image(params, cfg, px))
+    want_txt = np.asarray(encode_text(params, cfg, ids))
+
+    mesh = get_mesh(n_data=2, n_model=4)
+    sharded = shard_params_tp(params, mesh)
+    q = sharded["vision"]["encoder"]["attn"]["q"]["w"]
+    assert q.sharding.spec == P(None, None, "model")
+
+    batch = NamedSharding(mesh, P("data"))
+    with mesh:
+        got_img = np.asarray(
+            jax.jit(lambda p, x: encode_image(p, cfg, x))(sharded, jax.device_put(px, batch))
+        )
+        got_txt = np.asarray(
+            jax.jit(lambda p, x: encode_text(p, cfg, x))(sharded, jax.device_put(ids, batch))
+        )
+    np.testing.assert_allclose(got_img, want_img, atol=2e-5, rtol=2e-5)
+    np.testing.assert_allclose(got_txt, want_txt, atol=2e-5, rtol=2e-5)
+
+
+def test_tp_gemma_matches_unsharded():
+    cfg = GemmaConfig(
+        vocab_size=64, dim=32, layers=2, heads=4, kv_heads=1, head_dim=8, mlp_dim=64
+    )
+    params = gemma_init(jax.random.key(1), cfg)
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(4, 9, cfg.dim)), jnp.float32)
+    mask = jnp.ones((4, 9), jnp.int32)
+
+    want = np.asarray(gemma_apply(params, cfg, x, mask))
+
+    mesh = get_mesh(n_data=2, n_model=4)
+    sharded = shard_params_tp(params, mesh)
+    batch = NamedSharding(mesh, P("data"))
+    with mesh:
+        got = np.asarray(
+            jax.jit(lambda p, e, m: gemma_apply(p, cfg, e, m))(
+                sharded, jax.device_put(x, batch), jax.device_put(mask, batch)
+            )
+        )
+    np.testing.assert_allclose(got, want, atol=3e-5, rtol=3e-5)
