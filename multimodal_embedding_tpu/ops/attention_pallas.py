@@ -46,17 +46,26 @@ def _ceil_to(x: int, m: int) -> int:
 
 
 def _attn_kernel(
-    q_ref, k_ref, v_ref, km_ref, o_ref, *, sm_scale: float, causal: bool, tk_valid: int, block_q: int
+    *refs, sm_scale: float, causal: bool, tk_valid: int, block_q: int, has_km: bool
 ):
     """One (batch, head, query-block) grid cell.
 
+    refs (in order):
     q_ref: [1, 1, BQ, Dh]   query rows (model dtype)
     k_ref: [1, 1, Tk, Dh]   all keys for this (batch, kv-head)
     v_ref: [1, 1, Tk, Dh]   all values
-    km_ref: [1, 1, Tk]      int32 key-validity mask (1 = attend; the middle
-                            singleton keeps the block TPU-tileable)
+    km_ref: [1, 1, Tk]      int32 key-validity mask, only when has_km (the
+                            middle singleton keeps the block TPU-tileable)
     o_ref: [1, 1, BQ, Dh]   output rows
+
+    VPU-lean by construction: the scale multiply is fused into the mask
+    select (or the exp when no mask is needed), and the softmax divide is a
+    per-row reciprocal broadcast-multiplied — elementwise division over the
+    [BQ, Tk] block measured ~2x the cost of the whole exp pass.
     """
+    q_ref, k_ref, v_ref = refs[0], refs[1], refs[2]
+    km_ref = refs[3] if has_km else None
+    o_ref = refs[-1]
     iq = pl.program_id(2)
 
     q = q_ref[0, 0]  # [BQ, Dh]
@@ -64,24 +73,36 @@ def _attn_kernel(
     logits = jax.lax.dot_general(
         q, k, dimension_numbers=(((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
-    logits = logits * sm_scale  # [BQ, Tk]
 
-    col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
-    valid = col < tk_valid  # static sequence-padding mask
-    valid &= km_ref[0] != 0  # [1, Tk] broadcasts over rows
-    if causal:
-        row = iq * block_q + jax.lax.broadcasted_iota(jnp.int32, logits.shape, 0)
-        valid &= col <= row
-    logits = jnp.where(valid, logits, NEG_INF)
+    tkp = logits.shape[-1]
+    need_pad_mask = tk_valid < tkp
+    valid = None
+    if need_pad_mask or has_km or causal:
+        col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+        valid = col < tk_valid if need_pad_mask else None
+        if has_km:
+            km = km_ref[0] != 0  # [1, Tk] broadcasts over rows
+            valid = km if valid is None else valid & km
+        if causal:
+            row = iq * block_q + jax.lax.broadcasted_iota(jnp.int32, logits.shape, 0)
+            cm = col <= row
+            valid = cm if valid is None else valid & cm
+        logits = jnp.where(valid, logits * sm_scale, NEG_INF)
+    else:
+        logits = logits * sm_scale
 
     m = jnp.max(logits, axis=-1, keepdims=True)
     p = jnp.exp(logits - m)
-    attn = p / jnp.sum(p, axis=-1, keepdims=True)
-    # Fully-masked rows (left-padded queries under causal masking) get exact
-    # zeros — deterministic, and confined to positions every downstream
-    # consumer masks out. (The XLA paths leave a uniform average there.)
-    any_valid = jnp.max(valid.astype(jnp.float32), axis=-1, keepdims=True)
-    attn = attn * any_valid
+    denom = jnp.sum(p, axis=-1, keepdims=True)  # [BQ, 1]
+    if valid is not None and (has_km or causal):
+        # Fully-masked rows (left-padded queries under causal masking) get
+        # exact zeros — deterministic, and confined to positions every
+        # downstream consumer masks out. (XLA leaves a uniform average.)
+        any_valid = jnp.max(valid.astype(jnp.float32), axis=-1, keepdims=True)
+        r = any_valid / denom
+    else:
+        r = 1.0 / denom
+    attn = p * r  # row-broadcast multiply; cast below feeds the MXU
 
     v = v_ref[0, 0]  # [Tk, Dh]
     out = jax.lax.dot_general(
@@ -123,54 +144,62 @@ def fused_attention(
     if sm_scale is None:
         sm_scale = 1.0 / (dh**0.5)
 
-    tkp = _ceil_to(tk, 128)  # logits lane dim
+    # No HBM padding: Pallas masks uneven block tails itself (OOB reads see
+    # the VMEM tile pad, OOB writes are dropped), so q/k/v go in at their
+    # natural shapes. Materialized jnp.pad + output slice measured ~45 ms/iter
+    # of pure HBM traffic on the ViT-L b64 forward (seq 577 -> 584/640).
+    lanes = _ceil_to(tk, 128)  # physical logits lane tile, for the budget only
     if block_q is None:
-        rows_budget = max(128, _LOGITS_VMEM_BUDGET // (6 * tkp) // 8 * 8)
+        rows_budget = max(128, _LOGITS_VMEM_BUDGET // (6 * lanes) // 8 * 8)
         n_q_blocks = -(-_ceil_to(tq, 8) // rows_budget)
         block_q = _ceil_to(-(-tq // n_q_blocks), 8)
-    tqp = _ceil_to(tq, block_q)
 
-    qp = jnp.pad(q, ((0, 0), (0, 0), (0, tqp - tq), (0, 0)))
-    kp = jnp.pad(k, ((0, 0), (0, 0), (0, tkp - tk), (0, 0)))
-    vp = jnp.pad(v, ((0, 0), (0, 0), (0, tkp - tk), (0, 0)))
-    if key_mask is None:
-        km = jnp.ones((b, 1, tkp), jnp.int32)
-    else:
-        km = jnp.pad(key_mask.astype(jnp.int32), ((0, 0), (0, tkp - tk)))[:, None, :]
+    has_km = key_mask is not None
+    operands = [q, k, v]
+    in_specs = [
+        pl.BlockSpec(
+            (1, 1, block_q, dh), lambda bi, hi, qi: (bi, hi, qi, 0), memory_space=pltpu.VMEM
+        ),
+        pl.BlockSpec(
+            (1, 1, tk, dh), lambda bi, hi, qi, _g=g: (bi, hi // _g, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(
+            (1, 1, tk, dh), lambda bi, hi, qi, _g=g: (bi, hi // _g, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    ]
+    if has_km:
+        operands.append(key_mask.astype(jnp.int32)[:, None, :])
+        in_specs.append(
+            pl.BlockSpec((1, 1, tk), lambda bi, hi, qi: (bi, 0, 0), memory_space=pltpu.VMEM)
+        )
 
-    grid = (b, h, tqp // block_q)
+    grid = (b, h, -(-tq // block_q))
     kernel = functools.partial(
-        _attn_kernel, sm_scale=float(sm_scale), causal=causal, tk_valid=tk, block_q=block_q
+        _attn_kernel,
+        sm_scale=float(sm_scale),
+        causal=causal,
+        tk_valid=tk,
+        block_q=block_q,
+        has_km=has_km,
     )
     out = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec(
-                (1, 1, block_q, dh), lambda bi, hi, qi: (bi, hi, qi, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (1, 1, tkp, dh), lambda bi, hi, qi, _g=g: (bi, hi // _g, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, 1, tkp, dh), lambda bi, hi, qi, _g=g: (bi, hi // _g, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec((1, 1, tkp), lambda bi, hi, qi: (bi, 0, 0), memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (1, 1, block_q, dh), lambda bi, hi, qi: (bi, hi, qi, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((b, h, tqp, dh), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, h, tq, dh), q.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel"),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=4 * b * h * tqp * tkp * dh,
-            bytes_accessed=2 * (b * h * tqp * dh * 2 + b * kvh * tkp * dh * 2),
-            transcendentals=b * h * tqp * tkp,
+            flops=4 * b * h * tq * tk * dh,
+            bytes_accessed=2 * (b * h * tq * dh * 2 + b * kvh * tk * dh * 2),
+            transcendentals=b * h * tq * tk,
         ),
         interpret=interpret,
-    )(qp, kp, vp, km)
-    return out[:, :, :tq]
+    )(*operands)
+    return out
