@@ -44,10 +44,10 @@ def main() -> None:
 
     from multimodal_embedding_tpu.models.layers import set_attention_impl
 
-    # bf16 QK^T logits = the reference's torch-autocast numerics (its A40
-    # numbers were produced under bf16 autocast); +12% on v5e, CLS cosine
-    # >= 0.99995 vs f32 (PERF.md)
-    set_attention_impl("xla_bf16")
+    # fused softmax-in-VMEM Pallas kernel: fastest measured ViT-L path on v5e
+    # (263 img/s vs 242 xla_bf16 / 236 f32-logit XLA; CLS cosine >= 0.9999 vs
+    # the torch-autocast numerics — PERF.md)
+    set_attention_impl("pallas")
 
     info = model_info("OpenAI-CLIP-L")
     cfg = full_arch_config("OpenAI-CLIP-L")

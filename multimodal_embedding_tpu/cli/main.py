@@ -77,11 +77,12 @@ def parse_args(argv=None):
                         "on reruns of the same model+dataset)")
     p.add_argument("--profile-dir", type=str, default=None,
                    help="Capture a jax.profiler trace of each model's benchmark")
-    p.add_argument("--attention-impl", type=str, default="xla",
-                   choices=["xla", "xla_bf16", "pallas", "flash"],
-                   help="Tower self-attention: f32-logit SDPA, bf16-logit SDPA "
-                        "(torch-autocast numerics, ~12%% faster), fused "
-                        "softmax-in-VMEM Pallas kernel, or Pallas flash")
+    p.add_argument("--attention-impl", type=str, default="auto",
+                   choices=["auto", "xla", "xla_bf16", "pallas", "flash"],
+                   help="Tower self-attention: auto (fused softmax-in-VMEM "
+                        "Pallas kernel on TPU, f32-logit SDPA elsewhere), "
+                        "f32-logit SDPA, bf16-logit SDPA (torch-autocast "
+                        "numerics), Pallas fused, or Pallas flash")
     p.add_argument("--preprocess-impl", type=str, default="xla", choices=["xla", "pallas"],
                    help="Device preprocessing: XLA matmuls or the fused Pallas kernel")
     p.add_argument("--native-cache-dir", type=str, default=None,
@@ -219,10 +220,9 @@ def main(argv=None) -> int:
     logger.info(f"BENCHMARK START (V29 STATISTICAL, TPU) - Output: {args.output}")
     logger.info(f"Bootstrap iterations: {args.bootstrap_iterations}")
 
-    if args.attention_impl != "xla":
-        from ..models.layers import set_attention_impl
+    from ..models.layers import set_attention_impl
 
-        set_attention_impl(args.attention_impl)
+    set_attention_impl(args.attention_impl)
 
     mesh = get_mesh(n_model=args.tensor_parallel)
     logger.info(f"Device mesh: {dict(mesh.shape)} over {mesh.devices.size} devices")

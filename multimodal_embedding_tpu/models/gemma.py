@@ -83,9 +83,10 @@ def _attn(
     q = _rope(q, positions, cfg.rope_theta)
     k = _rope(k, positions, cfg.rope_theta)
 
-    from .layers import _ATTENTION_IMPL, attention_interpret
+    from .layers import attention_interpret, get_attention_impl
 
-    if _ATTENTION_IMPL == "pallas":
+    impl = get_attention_impl()
+    if impl == "pallas":
         from ..ops.attention_pallas import fused_attention
 
         out = fused_attention(
@@ -106,7 +107,7 @@ def _attn(
 
     g = cfg.heads // cfg.kv_heads  # query heads per kv head
     q = q.reshape(b, t, cfg.kv_heads, g, cfg.head_dim)
-    if _ATTENTION_IMPL == "xla_bf16":
+    if impl == "xla_bf16":
         # bf16 logits (torch-autocast numerics): halves the dominant HBM
         # traffic of ColPali's 1038^2 attention matrices
         logits = jnp.einsum("bqhgd,bkhd->bhgqk", q, k).astype(jnp.float32)

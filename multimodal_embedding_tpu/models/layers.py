@@ -80,17 +80,26 @@ ACTIVATIONS = {
 #  - "flash":    the official Pallas TPU flash-attention kernel (online
 #                softmax, no [T, T] logits in HBM) — measured SLOWER at ViT
 #                scale; useful for long sequences.
+#  - "auto":     "pallas" on TPU, "xla" elsewhere (CPU tests keep max-parity
+#                f32 numerics; the TPU path takes the fastest measured kernel)
 # Module-level switch so model code stays implementation-agnostic; set via
 # set_attention_impl() (the CLI exposes --attention-impl).
-_ATTENTION_IMPL = "xla"
+_ATTENTION_IMPL = "auto"
 
-ATTENTION_IMPLS = ("xla", "xla_bf16", "pallas", "flash")
+ATTENTION_IMPLS = ("auto", "xla", "xla_bf16", "pallas", "flash")
 
 
 def set_attention_impl(impl: str) -> None:
     global _ATTENTION_IMPL
     assert impl in ATTENTION_IMPLS
     _ATTENTION_IMPL = impl
+
+
+def get_attention_impl() -> str:
+    """Resolved implementation name (never "auto")."""
+    if _ATTENTION_IMPL == "auto":
+        return "pallas" if jax.default_backend() == "tpu" else "xla"
+    return _ATTENTION_IMPL
 
 
 def attention_interpret() -> bool:
@@ -151,11 +160,12 @@ def mha(
     k = linear(p["k"], kv).reshape(b, tk, n_heads, dh)
     v = linear(p["v"], kv).reshape(b, tk, n_heads, dh)
 
-    if _ATTENTION_IMPL == "flash" and self_attn and mask is None:
+    impl = get_attention_impl()
+    if impl == "flash" and self_attn and mask is None:
         out = _flash_sdpa(q, k, v, causal).astype(x.dtype).reshape(b, tq, d)
         return linear(p["o"], out)
 
-    if _ATTENTION_IMPL == "pallas":
+    if impl == "pallas":
         from ..ops.attention_pallas import fused_attention
 
         out = fused_attention(
@@ -169,7 +179,7 @@ def mha(
         out = jnp.swapaxes(out, 1, 2).astype(x.dtype).reshape(b, tq, d)
         return linear(p["o"], out)
 
-    if _ATTENTION_IMPL == "xla_bf16":
+    if impl == "xla_bf16":
         logits = (jnp.einsum("bqhd,bkhd->bhqk", q, k) / math.sqrt(dh)).astype(jnp.float32)
     else:
         logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
