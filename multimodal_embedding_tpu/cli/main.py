@@ -222,7 +222,12 @@ def main(argv=None) -> int:
 
     from ..models.layers import set_attention_impl
 
-    set_attention_impl(args.attention_impl)
+    if args.attention_impl == "auto" and args.tensor_parallel > 1:
+        # GSPMD cannot auto-partition a pallas_call over the model axis; the
+        # einsum SDPA partitions cleanly under the Megatron param shardings
+        set_attention_impl("xla_bf16")
+    else:
+        set_attention_impl(args.attention_impl)
 
     mesh = get_mesh(n_model=args.tensor_parallel)
     logger.info(f"Device mesh: {dict(mesh.shape)} over {mesh.devices.size} devices")
