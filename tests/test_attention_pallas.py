@@ -134,3 +134,19 @@ def test_gemma_pallas_impl_matches_xla(pallas_impl):
         np.testing.assert_allclose(
             np.asarray(got)[valid], np.asarray(want)[valid], atol=3e-5, rtol=3e-5
         )
+
+
+def test_auto_impl_resolves_by_backend():
+    """"auto" (the default) takes the Pallas kernel on TPU and the
+    max-parity f32 XLA path elsewhere; explicit impls pass through."""
+    prev = layers._ATTENTION_IMPL
+    try:
+        layers.set_attention_impl("auto")
+        # conftest forces the CPU backend for the whole test session
+        assert layers.get_attention_impl() == (
+            "pallas" if jax.default_backend() == "tpu" else "xla"
+        )
+        layers.set_attention_impl("xla_bf16")
+        assert layers.get_attention_impl() == "xla_bf16"
+    finally:
+        layers.set_attention_impl(prev)
