@@ -89,16 +89,19 @@ def _attn(
     if impl == "pallas":
         from ..ops.attention_pallas import fused_attention
 
+        # head_dim 256 is lane-aligned, so the kernel takes the natural
+        # [B, T, H, Dh] projection layout directly — no transpose copies
         out = fused_attention(
-            jnp.swapaxes(q, 1, 2),
-            jnp.swapaxes(k, 1, 2),
-            jnp.swapaxes(v, 1, 2),
+            q,
+            k,
+            v,
             key_mask=key_mask,
             causal=causal,
             sm_scale=1.0 / math.sqrt(cfg.head_dim),
             interpret=attention_interpret(),
+            layout="bthd",
         )
-        out = jnp.swapaxes(out, 1, 2).astype(x.dtype).reshape(b, t, cfg.heads * cfg.head_dim)
+        out = out.astype(x.dtype).reshape(b, t, cfg.heads * cfg.head_dim)
         return jnp.dot(out, p["o"], preferred_element_type=jnp.float32).astype(x.dtype)
 
     mask = jnp.broadcast_to(key_mask[:, None, :], (b, t, t))

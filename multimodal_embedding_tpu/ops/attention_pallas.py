@@ -46,11 +46,19 @@ def _ceil_to(x: int, m: int) -> int:
 
 
 def _attn_kernel(
-    *refs, sm_scale: float, causal: bool, tk_valid: int, block_q: int, has_km: bool
+    *refs,
+    sm_scale: float,
+    causal: bool,
+    tk_valid: int,
+    block_q: int,
+    has_km: bool,
+    bthd: bool,
 ):
     """One (batch, head, query-block) grid cell.
 
-    refs (in order):
+    refs (in order), with the head-singleton axis in position 1 ("bhtd",
+    the transposed layout) or position 2 ("bthd", the natural
+    post-projection layout — no relayout copies around the kernel):
     q_ref: [1, 1, BQ, Dh]   query rows (model dtype)
     k_ref: [1, 1, Tk, Dh]   all keys for this (batch, kv-head)
     v_ref: [1, 1, Tk, Dh]   all values
@@ -68,8 +76,11 @@ def _attn_kernel(
     o_ref = refs[-1]
     iq = pl.program_id(2)
 
-    q = q_ref[0, 0]  # [BQ, Dh]
-    k = k_ref[0, 0]  # [Tk, Dh]
+    def rows(ref):  # -> [T, Dh] regardless of layout
+        return ref[0, :, 0, :] if bthd else ref[0, 0]
+
+    q = rows(q_ref)  # [BQ, Dh]
+    k = rows(k_ref)  # [Tk, Dh]
     logits = jax.lax.dot_general(
         q, k, dimension_numbers=(((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
@@ -104,14 +115,17 @@ def _attn_kernel(
         r = 1.0 / denom
     attn = p * r  # row-broadcast multiply; cast below feeds the MXU
 
-    v = v_ref[0, 0]  # [Tk, Dh]
+    v = rows(v_ref)  # [Tk, Dh]
     out = jax.lax.dot_general(
         attn.astype(v.dtype),
         v,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    o_ref[0, 0] = out.astype(o_ref.dtype)
+    if bthd:
+        o_ref[0, :, 0, :] = out.astype(o_ref.dtype)
+    else:
+        o_ref[0, 0] = out.astype(o_ref.dtype)
 
 
 # VMEM budget for the f32 logits + low-precision probability block per grid
@@ -120,7 +134,7 @@ _LOGITS_VMEM_BUDGET = 6 * 2**20
 
 
 @functools.partial(
-    jax.jit, static_argnames=("causal", "sm_scale", "block_q", "interpret")
+    jax.jit, static_argnames=("causal", "sm_scale", "block_q", "interpret", "layout")
 )
 def fused_attention(
     q: jax.Array,
@@ -132,13 +146,23 @@ def fused_attention(
     sm_scale: float | None = None,
     block_q: int | None = None,
     interpret: bool = False,
+    layout: str = "bhtd",
 ) -> jax.Array:
-    """Fused attention. q [B, H, Tq, Dh]; k, v [B, KVH, Tk, Dh] with
-    KVH | H (grouped-query). key_mask [B, Tk] bool/int (True = attend).
-    Returns [B, H, Tq, Dh] in q.dtype.
+    """Fused attention. layout "bhtd": q [B, H, Tq, Dh]; k, v
+    [B, KVH, Tk, Dh] with KVH | H (grouped-query). layout "bthd": q
+    [B, Tq, H, Dh]; k, v [B, Tk, KVH, Dh] — the natural post-projection
+    layout, taken directly so no transpose copies materialize around the
+    kernel (profitable when Dh is lane-aligned, e.g. Gemma's 256).
+    key_mask [B, Tk] bool/int (True = attend). Returns q's layout/dtype.
     """
-    b, h, tq, dh = q.shape
-    _, kvh, tk, _ = k.shape
+    assert layout in ("bhtd", "bthd"), layout
+    bthd = layout == "bthd"
+    if bthd:
+        b, tq, h, dh = q.shape
+        _, tk, kvh, _ = k.shape
+    else:
+        b, h, tq, dh = q.shape
+        _, kvh, tk, _ = k.shape
     assert h % kvh == 0, (h, kvh)
     g = h // kvh
     if sm_scale is None:
@@ -156,19 +180,25 @@ def fused_attention(
 
     has_km = key_mask is not None
     operands = [q, k, v]
-    in_specs = [
-        pl.BlockSpec(
+    if bthd:
+        q_spec = pl.BlockSpec(
+            (1, block_q, 1, dh), lambda bi, hi, qi: (bi, qi, hi, 0), memory_space=pltpu.VMEM
+        )
+        kv_spec = pl.BlockSpec(
+            (1, tk, 1, dh), lambda bi, hi, qi, _g=g: (bi, 0, hi // _g, 0),
+            memory_space=pltpu.VMEM,
+        )
+        out_shape = (b, tq, h, dh)
+    else:
+        q_spec = pl.BlockSpec(
             (1, 1, block_q, dh), lambda bi, hi, qi: (bi, hi, qi, 0), memory_space=pltpu.VMEM
-        ),
-        pl.BlockSpec(
+        )
+        kv_spec = pl.BlockSpec(
             (1, 1, tk, dh), lambda bi, hi, qi, _g=g: (bi, hi // _g, 0, 0),
             memory_space=pltpu.VMEM,
-        ),
-        pl.BlockSpec(
-            (1, 1, tk, dh), lambda bi, hi, qi, _g=g: (bi, hi // _g, 0, 0),
-            memory_space=pltpu.VMEM,
-        ),
-    ]
+        )
+        out_shape = (b, h, tq, dh)
+    in_specs = [q_spec, kv_spec, kv_spec]
     if has_km:
         operands.append(key_mask.astype(jnp.int32)[:, None, :])
         in_specs.append(
@@ -183,15 +213,14 @@ def fused_attention(
         tk_valid=tk,
         block_q=block_q,
         has_km=has_km,
+        bthd=bthd,
     )
     out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec(
-            (1, 1, block_q, dh), lambda bi, hi, qi: (bi, hi, qi, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((b, h, tq, dh), q.dtype),
+        out_specs=q_spec,
+        out_shape=jax.ShapeDtypeStruct(out_shape, q.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel"),
         ),

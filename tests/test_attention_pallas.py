@@ -150,3 +150,39 @@ def test_auto_impl_resolves_by_backend():
         assert layers.get_attention_impl() == "xla_bf16"
     finally:
         layers.set_attention_impl(prev)
+
+
+@pytest.mark.parametrize(
+    "b,h,kvh,tq,tk,dh,causal,masked",
+    [
+        (2, 4, 4, 37, 37, 64, False, False),
+        (1, 4, 4, 33, 33, 64, True, True),
+        (2, 8, 2, 19, 19, 32, True, False),  # grouped-query causal
+        (2, 2, 2, 9, 41, 16, False, True),  # cross attention (Tq != Tk)
+    ],
+)
+def test_fused_attention_bthd_layout(b, h, kvh, tq, tk, dh, causal, masked):
+    """The transpose-free [B, T, H, Dh] layout is numerically identical to
+    the default layout on the same problem."""
+    ks = jax.random.split(jax.random.key(7), 4)
+    q = _rand(ks[0], (b, h, tq, dh))
+    k = _rand(ks[1], (b, kvh, tk, dh))
+    v = _rand(ks[2], (b, kvh, tk, dh))
+    key_mask = None
+    if masked:
+        key_mask = jax.random.bernoulli(ks[3], 0.8, (b, tk))
+        key_mask = key_mask.at[:, 0].set(True)
+
+    want = _sdpa_ref(q, k, v, key_mask=key_mask, causal=causal)
+    got = fused_attention(
+        jnp.swapaxes(q, 1, 2),
+        jnp.swapaxes(k, 1, 2),
+        jnp.swapaxes(v, 1, 2),
+        key_mask=key_mask,
+        causal=causal,
+        interpret=True,
+        layout="bthd",
+    )
+    np.testing.assert_allclose(
+        np.asarray(jnp.swapaxes(got, 1, 2)), np.asarray(want), atol=2e-5, rtol=2e-5
+    )
