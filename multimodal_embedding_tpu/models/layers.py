@@ -156,11 +156,30 @@ def mha(
     tk = kv.shape[1]
     dh = d // n_heads
 
-    q = linear(p["q"], x).reshape(b, tq, n_heads, dh)
-    k = linear(p["k"], kv).reshape(b, tk, n_heads, dh)
-    v = linear(p["v"], kv).reshape(b, tk, n_heads, dh)
+    qf = linear(p["q"], x)
+    kf = linear(p["k"], kv)
+    vf = linear(p["v"], kv)
 
     impl = get_attention_impl()
+    if impl == "pallas" and 128 % dh == 0 and n_heads % (128 // dh) == 0:
+        # packed layout: the kernel consumes the raw [B, T, H*Dh] projection
+        # output — no transpose copies, no HBM lane padding of small head dims
+        from ..ops.attention_pallas import fused_attention
+
+        out = fused_attention(
+            qf, kf, vf,
+            key_mask=mask,
+            causal=causal,
+            interpret=attention_interpret(),
+            layout="packed",
+            num_heads=n_heads,
+        )
+        return linear(p["o"], out.astype(x.dtype))
+
+    q = qf.reshape(b, tq, n_heads, dh)
+    k = kf.reshape(b, tk, n_heads, dh)
+    v = vf.reshape(b, tk, n_heads, dh)
+
     if impl == "flash" and self_attn and mask is None:
         out = _flash_sdpa(q, k, v, causal).astype(x.dtype).reshape(b, tq, d)
         return linear(p["o"], out)

@@ -79,21 +79,43 @@ def _attn_kernel(
     def rows(ref):  # -> [T, Dh] regardless of layout
         return ref[0, :, 0, :] if bthd else ref[0, 0]
 
-    q = rows(q_ref)  # [BQ, Dh]
-    k = rows(k_ref)  # [Tk, Dh]
+    out = _attn_core(
+        rows(q_ref),
+        rows(k_ref),
+        rows(v_ref),
+        km_ref[0] if has_km else None,
+        iq,
+        sm_scale=sm_scale,
+        causal=causal,
+        tk_valid=tk_valid,
+        block_q=block_q,
+    )
+    if bthd:
+        o_ref[0, :, 0, :] = out.astype(o_ref.dtype)
+    else:
+        o_ref[0, 0] = out.astype(o_ref.dtype)
+
+
+def _attn_core(q, k, v, km, iq, *, sm_scale, causal, tk_valid, block_q):
+    """Softmax attention of one query block against all keys.
+
+    q [BQ, Dh]; k, v [Tk, Dh]; km [1, Tk] int or None; iq = q-block index.
+    Returns [BQ, Dh] f32.
+    """
     logits = jax.lax.dot_general(
         q, k, dimension_numbers=(((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
 
     tkp = logits.shape[-1]
     need_pad_mask = tk_valid < tkp
+    has_km = km is not None
     valid = None
     if need_pad_mask or has_km or causal:
         col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
         valid = col < tk_valid if need_pad_mask else None
         if has_km:
-            km = km_ref[0] != 0  # [1, Tk] broadcasts over rows
-            valid = km if valid is None else valid & km
+            kmb = km != 0  # [1, Tk] broadcasts over rows
+            valid = kmb if valid is None else valid & kmb
         if causal:
             row = iq * block_q + jax.lax.broadcasted_iota(jnp.int32, logits.shape, 0)
             cm = col <= row
@@ -113,19 +135,45 @@ def _attn_kernel(
         r = any_valid / denom
     else:
         r = 1.0 / denom
-    attn = p * r  # row-broadcast multiply; cast below feeds the MXU
+    attn = p * r  # row-broadcast multiply; the cast below feeds the MXU
 
-    v = rows(v_ref)  # [Tk, Dh]
-    out = jax.lax.dot_general(
+    return jax.lax.dot_general(
         attn.astype(v.dtype),
         v,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    if bthd:
-        o_ref[0, :, 0, :] = out.astype(o_ref.dtype)
-    else:
-        o_ref[0, 0] = out.astype(o_ref.dtype)
+
+
+def _attn_kernel_packed(
+    *refs, sm_scale: float, causal: bool, tk_valid: int, block_q: int, has_km: bool,
+    hpb: int, dh: int,
+):
+    """One (batch, head-group, query-block) grid cell in the packed
+    [B, T, H*Dh] layout: the 128-lane trailing block carries ``hpb`` heads
+    side by side (dh | 128), so the kernel consumes the projection output
+    with zero relayout copies AND zero HBM lane padding (a [B, H, T, 64]
+    operand tile-pads its trailing dim to 128 — 2x bytes).
+
+    q_ref: [1, BQ, hpb*Dh]; k_ref/v_ref: [1, Tk, hpb*Dh];
+    km_ref: [1, 1, Tk] when has_km; o_ref: [1, BQ, hpb*Dh].
+    """
+    q_ref, k_ref, v_ref = refs[0], refs[1], refs[2]
+    km_ref = refs[3] if has_km else None
+    o_ref = refs[-1]
+    iq = pl.program_id(2)
+
+    q2 = q_ref[0]  # [BQ, hpb*Dh]
+    k2 = k_ref[0]
+    v2 = v_ref[0]
+    km = km_ref[0] if has_km else None
+    for j in range(hpb):  # static lane slices within the 128-lane group
+        sl = slice(j * dh, (j + 1) * dh)
+        out = _attn_core(
+            q2[:, sl], k2[:, sl], v2[:, sl], km, iq,
+            sm_scale=sm_scale, causal=causal, tk_valid=tk_valid, block_q=block_q,
+        )
+        o_ref[0, :, sl] = out.astype(o_ref.dtype)
 
 
 # VMEM budget for the f32 logits + low-precision probability block per grid
@@ -134,7 +182,8 @@ _LOGITS_VMEM_BUDGET = 6 * 2**20
 
 
 @functools.partial(
-    jax.jit, static_argnames=("causal", "sm_scale", "block_q", "interpret", "layout")
+    jax.jit,
+    static_argnames=("causal", "sm_scale", "block_q", "interpret", "layout", "num_heads"),
 )
 def fused_attention(
     q: jax.Array,
@@ -147,17 +196,33 @@ def fused_attention(
     block_q: int | None = None,
     interpret: bool = False,
     layout: str = "bhtd",
+    num_heads: int | None = None,
 ) -> jax.Array:
     """Fused attention. layout "bhtd": q [B, H, Tq, Dh]; k, v
     [B, KVH, Tk, Dh] with KVH | H (grouped-query). layout "bthd": q
     [B, Tq, H, Dh]; k, v [B, Tk, KVH, Dh] — the natural post-projection
     layout, taken directly so no transpose copies materialize around the
-    kernel (profitable when Dh is lane-aligned, e.g. Gemma's 256).
+    kernel (profitable when Dh is lane-aligned, e.g. Gemma's 256). layout
+    "packed": q [B, Tq, H*Dh], k, v [B, Tk, H*Dh] with ``num_heads`` given
+    and Dh | 128 — the raw projection output; no relayout copies AND no
+    HBM lane padding (best for small head dims, e.g. ViT's 64).
     key_mask [B, Tk] bool/int (True = attend). Returns q's layout/dtype.
     """
-    assert layout in ("bhtd", "bthd"), layout
+    assert layout in ("bhtd", "bthd", "packed"), layout
     bthd = layout == "bthd"
-    if bthd:
+    packed = layout == "packed"
+    if packed:
+        assert num_heads is not None, "packed layout needs num_heads"
+        b, tq, hd = q.shape
+        h = num_heads
+        dh = hd // h
+        assert hd == h * dh and k.shape[-1] == hd, (q.shape, k.shape, h)
+        assert 128 % dh == 0, f"packed layout needs Dh | 128, got {dh}"
+        hpb = 128 // dh  # heads per 128-lane block
+        assert h % hpb == 0, (h, hpb)
+        tk = k.shape[1]
+        kvh = h
+    elif bthd:
         b, tq, h, dh = q.shape
         _, tk, kvh, _ = k.shape
     else:
@@ -180,7 +245,15 @@ def fused_attention(
 
     has_km = key_mask is not None
     operands = [q, k, v]
-    if bthd:
+    if packed:
+        q_spec = pl.BlockSpec(
+            (1, block_q, hpb * dh), lambda bi, hi, qi: (bi, qi, hi), memory_space=pltpu.VMEM
+        )
+        kv_spec = pl.BlockSpec(
+            (1, tk, hpb * dh), lambda bi, hi, qi: (bi, 0, hi), memory_space=pltpu.VMEM
+        )
+        out_shape = (b, tq, h * dh)
+    elif bthd:
         q_spec = pl.BlockSpec(
             (1, block_q, 1, dh), lambda bi, hi, qi: (bi, qi, hi, 0), memory_space=pltpu.VMEM
         )
@@ -205,16 +278,29 @@ def fused_attention(
             pl.BlockSpec((1, 1, tk), lambda bi, hi, qi: (bi, 0, 0), memory_space=pltpu.VMEM)
         )
 
-    grid = (b, h, -(-tq // block_q))
-    kernel = functools.partial(
-        _attn_kernel,
-        sm_scale=float(sm_scale),
-        causal=causal,
-        tk_valid=tk,
-        block_q=block_q,
-        has_km=has_km,
-        bthd=bthd,
-    )
+    if packed:
+        grid = (b, h // hpb, -(-tq // block_q))
+        kernel = functools.partial(
+            _attn_kernel_packed,
+            sm_scale=float(sm_scale),
+            causal=causal,
+            tk_valid=tk,
+            block_q=block_q,
+            has_km=has_km,
+            hpb=hpb,
+            dh=dh,
+        )
+    else:
+        grid = (b, h, -(-tq // block_q))
+        kernel = functools.partial(
+            _attn_kernel,
+            sm_scale=float(sm_scale),
+            causal=causal,
+            tk_valid=tk,
+            block_q=block_q,
+            has_km=has_km,
+            bthd=bthd,
+        )
     out = pl.pallas_call(
         kernel,
         grid=grid,

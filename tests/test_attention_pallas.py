@@ -186,3 +186,58 @@ def test_fused_attention_bthd_layout(b, h, kvh, tq, tk, dh, causal, masked):
     np.testing.assert_allclose(
         np.asarray(jnp.swapaxes(got, 1, 2)), np.asarray(want), atol=2e-5, rtol=2e-5
     )
+
+
+@pytest.mark.parametrize(
+    "b,h,tq,tk,dh,causal,masked",
+    [
+        (2, 4, 37, 37, 64, False, False),  # 2 heads per 128-lane block
+        (2, 4, 37, 37, 64, False, True),
+        (1, 4, 33, 33, 64, True, True),
+        (2, 8, 19, 19, 32, True, False),  # 4 heads per block
+        (2, 2, 9, 41, 64, False, True),  # cross attention
+        (1, 2, 21, 21, 128, False, False),  # 1 head per block
+    ],
+)
+def test_fused_attention_packed_layout(b, h, tq, tk, dh, causal, masked):
+    """The packed [B, T, H*Dh] layout (raw projection output) matches the
+    reference on every masking mode."""
+    ks = jax.random.split(jax.random.key(11), 4)
+    q = _rand(ks[0], (b, h, tq, dh))
+    k = _rand(ks[1], (b, h, tk, dh))
+    v = _rand(ks[2], (b, h, tk, dh))
+    key_mask = None
+    if masked:
+        key_mask = jax.random.bernoulli(ks[3], 0.8, (b, tk))
+        key_mask = key_mask.at[:, 0].set(True)
+
+    want = _sdpa_ref(q, k, v, key_mask=key_mask, causal=causal)
+
+    def pack(x):  # [B,H,T,Dh] -> [B,T,H*Dh]
+        bb, hh, tt, dd = x.shape
+        return jnp.swapaxes(x, 1, 2).reshape(bb, tt, hh * dd)
+
+    got = fused_attention(
+        pack(q), pack(k), pack(v),
+        key_mask=key_mask, causal=causal, interpret=True,
+        layout="packed", num_heads=h,
+    )
+    got = jnp.swapaxes(got.reshape(b, tq, h, dh), 1, 2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5, rtol=2e-5)
+
+
+def test_mha_packed_path_matches_xla(pallas_impl):
+    """d=128/heads=2 (dh=64) qualifies for the packed kernel path inside
+    mha; result must match the XLA SDPA."""
+    from multimodal_embedding_tpu.models.layers import linear_init, mha
+
+    d, heads, t, bsz = 128, 2, 23, 2
+    ks = jax.random.split(jax.random.key(5), 5)
+    p = {n: linear_init(k, d, d) for n, k in zip("qkvo", ks[:4])}
+    x = _rand(ks[4], (bsz, t, d))
+    mask = jnp.array([[True] * t, [True] * (t - 7) + [False] * 7])
+
+    got = mha(p, x, heads, mask=mask)
+    layers.set_attention_impl("xla")
+    want = mha(p, x, heads, mask=mask)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5, rtol=2e-5)
