@@ -89,19 +89,38 @@ def _attn(
     if impl == "pallas":
         from ..ops.attention_pallas import fused_attention
 
-        # head_dim 256 is lane-aligned, so the kernel takes the natural
-        # [B, T, H, Dh] projection layout directly — no transpose copies
-        out = fused_attention(
-            q,
-            k,
-            v,
-            key_mask=key_mask,
-            causal=causal,
-            sm_scale=1.0 / math.sqrt(cfg.head_dim),
-            interpret=attention_interpret(),
-            layout="bthd",
-        )
-        out = out.astype(x.dtype).reshape(b, t, cfg.heads * cfg.head_dim)
+        dh = cfg.head_dim
+        hpb = max(1, 128 // dh)
+        if (128 % dh == 0 or dh % 128 == 0) and cfg.heads % hpb == 0 and (
+            cfg.kv_heads == cfg.heads or hpb == 1
+        ):
+            # head_dim 256 is lane-tile-aligned, so the kernel takes the
+            # packed [B, T, H*Dh] projection layout — the flattening reshapes
+            # fuse into the rope epilogue instead of materializing transposes
+            out = fused_attention(
+                q.reshape(b, t, cfg.heads * dh),
+                k.reshape(b, t, cfg.kv_heads * dh),
+                v.reshape(b, t, cfg.kv_heads * dh),
+                key_mask=key_mask,
+                causal=causal,
+                sm_scale=1.0 / math.sqrt(dh),
+                interpret=attention_interpret(),
+                layout="packed",
+                num_heads=cfg.heads,
+                num_kv_heads=cfg.kv_heads,
+            )
+            out = out.astype(x.dtype)
+        else:  # tiny/debug head dims: transposed layout
+            out = fused_attention(
+                jnp.swapaxes(q, 1, 2),
+                jnp.swapaxes(k, 1, 2),
+                jnp.swapaxes(v, 1, 2),
+                key_mask=key_mask,
+                causal=causal,
+                sm_scale=1.0 / math.sqrt(dh),
+                interpret=attention_interpret(),
+            )
+            out = jnp.swapaxes(out, 1, 2).astype(x.dtype).reshape(b, t, cfg.heads * dh)
         return jnp.dot(out, p["o"], preferred_element_type=jnp.float32).astype(x.dtype)
 
     mask = jnp.broadcast_to(key_mask[:, None, :], (b, t, t))

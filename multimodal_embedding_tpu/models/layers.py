@@ -102,6 +102,26 @@ def get_attention_impl() -> str:
     return _ATTENTION_IMPL
 
 
+def attention_impl_for(dh: int, tk: int) -> str:
+    """Shape-aware resolution of "auto" (measured on v5e, PERF.md):
+
+    - lane-clean head dims (Dh | 128: packed layout; 128 | Dh: direct
+      layout) always profit from the fused kernel;
+    - lane-unfriendly head dims (ViT-H's 80, SigLIP's 72) pad their
+      per-head tiles to 128 lanes, which only pays off once the sequence
+      is long enough that the XLA path's [T, T] logits HBM round-trips
+      dominate (SigLIP @729: +30% with the kernel; ViT-H @257: -15%);
+    - off-TPU stays on the max-parity f32 XLA path.
+    """
+    if _ATTENTION_IMPL != "auto":
+        return _ATTENTION_IMPL
+    if jax.default_backend() != "tpu":
+        return "xla"
+    if 128 % dh == 0 or dh % 128 == 0 or tk >= 512:
+        return "pallas"
+    return "xla_bf16"
+
+
 def attention_interpret() -> bool:
     """Pallas kernels run in interpret mode off-TPU (CPU tests)."""
     return jax.default_backend() != "tpu"
@@ -160,7 +180,7 @@ def mha(
     kf = linear(p["k"], kv)
     vf = linear(p["v"], kv)
 
-    impl = get_attention_impl()
+    impl = attention_impl_for(dh, tk)
     if impl == "pallas" and 128 % dh == 0 and n_heads % (128 // dh) == 0:
         # packed layout: the kernel consumes the raw [B, T, H*Dh] projection
         # output — no transpose copies, no HBM lane padding of small head dims

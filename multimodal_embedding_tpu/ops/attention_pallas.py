@@ -52,13 +52,10 @@ def _attn_kernel(
     tk_valid: int,
     block_q: int,
     has_km: bool,
-    bthd: bool,
 ):
     """One (batch, head, query-block) grid cell.
 
-    refs (in order), with the head-singleton axis in position 1 ("bhtd",
-    the transposed layout) or position 2 ("bthd", the natural
-    post-projection layout — no relayout copies around the kernel):
+    refs (in order):
     q_ref: [1, 1, BQ, Dh]   query rows (model dtype)
     k_ref: [1, 1, Tk, Dh]   all keys for this (batch, kv-head)
     v_ref: [1, 1, Tk, Dh]   all values
@@ -76,13 +73,10 @@ def _attn_kernel(
     o_ref = refs[-1]
     iq = pl.program_id(2)
 
-    def rows(ref):  # -> [T, Dh] regardless of layout
-        return ref[0, :, 0, :] if bthd else ref[0, 0]
-
     out = _attn_core(
-        rows(q_ref),
-        rows(k_ref),
-        rows(v_ref),
+        q_ref[0, 0],
+        k_ref[0, 0],
+        v_ref[0, 0],
         km_ref[0] if has_km else None,
         iq,
         sm_scale=sm_scale,
@@ -90,10 +84,7 @@ def _attn_kernel(
         tk_valid=tk_valid,
         block_q=block_q,
     )
-    if bthd:
-        o_ref[0, :, 0, :] = out.astype(o_ref.dtype)
-    else:
-        o_ref[0, 0] = out.astype(o_ref.dtype)
+    o_ref[0, 0] = out.astype(o_ref.dtype)
 
 
 def _attn_core(q, k, v, km, iq, *, sm_scale, causal, tk_valid, block_q):
@@ -150,12 +141,14 @@ def _attn_kernel_packed(
     hpb: int, dh: int,
 ):
     """One (batch, head-group, query-block) grid cell in the packed
-    [B, T, H*Dh] layout: the 128-lane trailing block carries ``hpb`` heads
-    side by side (dh | 128), so the kernel consumes the projection output
-    with zero relayout copies AND zero HBM lane padding (a [B, H, T, 64]
-    operand tile-pads its trailing dim to 128 — 2x bytes).
+    [B, T, H*Dh] layout: the lane-tile-aligned trailing block carries
+    ``hpb`` heads side by side (``hpb = max(1, 128 // Dh)``; for Dh >= 128
+    one head spans Dh/128 lane tiles), so the kernel consumes the
+    projection output with zero relayout copies AND zero HBM lane padding
+    (a [B, H, T, 64] operand tile-pads its trailing dim to 128 — 2x bytes).
 
-    q_ref: [1, BQ, hpb*Dh]; k_ref/v_ref: [1, Tk, hpb*Dh];
+    q_ref: [1, BQ, hpb*Dh]; k_ref/v_ref: [1, Tk, hpb*Dh] (for grouped-query
+    attention — hpb == 1 only — the kv block holds the shared kv head);
     km_ref: [1, 1, Tk] when has_km; o_ref: [1, BQ, hpb*Dh].
     """
     q_ref, k_ref, v_ref = refs[0], refs[1], refs[2]
@@ -183,7 +176,9 @@ _LOGITS_VMEM_BUDGET = 6 * 2**20
 
 @functools.partial(
     jax.jit,
-    static_argnames=("causal", "sm_scale", "block_q", "interpret", "layout", "num_heads"),
+    static_argnames=(
+        "causal", "sm_scale", "block_q", "interpret", "layout", "num_heads", "num_kv_heads"
+    ),
 )
 def fused_attention(
     q: jax.Array,
@@ -197,34 +192,32 @@ def fused_attention(
     interpret: bool = False,
     layout: str = "bhtd",
     num_heads: int | None = None,
+    num_kv_heads: int | None = None,
 ) -> jax.Array:
     """Fused attention. layout "bhtd": q [B, H, Tq, Dh]; k, v
-    [B, KVH, Tk, Dh] with KVH | H (grouped-query). layout "bthd": q
-    [B, Tq, H, Dh]; k, v [B, Tk, KVH, Dh] — the natural post-projection
-    layout, taken directly so no transpose copies materialize around the
-    kernel (profitable when Dh is lane-aligned, e.g. Gemma's 256). layout
-    "packed": q [B, Tq, H*Dh], k, v [B, Tk, H*Dh] with ``num_heads`` given
-    and Dh | 128 — the raw projection output; no relayout copies AND no
-    HBM lane padding (best for small head dims, e.g. ViT's 64).
-    key_mask [B, Tk] bool/int (True = attend). Returns q's layout/dtype.
+    [B, KVH, Tk, Dh] with KVH | H (grouped-query). layout "packed": q
+    [B, Tq, H*Dh], k, v [B, Tk, KVH*Dh] with ``num_heads`` (and
+    ``num_kv_heads`` for grouped-query, Dh >= 128 only) given and Dh | 128
+    or 128 | Dh — the raw projection output; no relayout copies AND no HBM
+    lane padding (a transposed [B, H, T, 64] operand tile-pads its trailing
+    dim to 128 lanes = 2x bytes). key_mask [B, Tk] bool/int (True =
+    attend). Returns q's layout/dtype.
     """
-    assert layout in ("bhtd", "bthd", "packed"), layout
-    bthd = layout == "bthd"
+    assert layout in ("bhtd", "packed"), layout
     packed = layout == "packed"
     if packed:
         assert num_heads is not None, "packed layout needs num_heads"
         b, tq, hd = q.shape
         h = num_heads
         dh = hd // h
-        assert hd == h * dh and k.shape[-1] == hd, (q.shape, k.shape, h)
-        assert 128 % dh == 0, f"packed layout needs Dh | 128, got {dh}"
-        hpb = 128 // dh  # heads per 128-lane block
+        assert hd == h * dh, (q.shape, h)
+        assert 128 % dh == 0 or dh % 128 == 0, f"packed layout needs lane-clean Dh, got {dh}"
+        hpb = max(1, 128 // dh)  # heads per trailing block
         assert h % hpb == 0, (h, hpb)
+        kvh = h if num_kv_heads is None else num_kv_heads
+        assert kvh == h or hpb == 1, "grouped-query packed needs Dh >= 128"
+        assert k.shape[-1] == kvh * dh, (k.shape, kvh, dh)
         tk = k.shape[1]
-        kvh = h
-    elif bthd:
-        b, tq, h, dh = q.shape
-        _, tk, kvh, _ = k.shape
     else:
         b, h, tq, dh = q.shape
         _, kvh, tk, _ = k.shape
@@ -250,18 +243,10 @@ def fused_attention(
             (1, block_q, hpb * dh), lambda bi, hi, qi: (bi, qi, hi), memory_space=pltpu.VMEM
         )
         kv_spec = pl.BlockSpec(
-            (1, tk, hpb * dh), lambda bi, hi, qi: (bi, 0, hi), memory_space=pltpu.VMEM
-        )
-        out_shape = (b, tq, h * dh)
-    elif bthd:
-        q_spec = pl.BlockSpec(
-            (1, block_q, 1, dh), lambda bi, hi, qi: (bi, qi, hi, 0), memory_space=pltpu.VMEM
-        )
-        kv_spec = pl.BlockSpec(
-            (1, tk, 1, dh), lambda bi, hi, qi, _g=g: (bi, 0, hi // _g, 0),
+            (1, tk, hpb * dh), lambda bi, hi, qi, _g=g: (bi, 0, hi // _g),
             memory_space=pltpu.VMEM,
         )
-        out_shape = (b, tq, h, dh)
+        out_shape = (b, tq, h * dh)
     else:
         q_spec = pl.BlockSpec(
             (1, 1, block_q, dh), lambda bi, hi, qi: (bi, hi, qi, 0), memory_space=pltpu.VMEM
@@ -299,7 +284,6 @@ def fused_attention(
             tk_valid=tk,
             block_q=block_q,
             has_km=has_km,
-            bthd=bthd,
         )
     out = pl.pallas_call(
         kernel,

@@ -155,15 +155,14 @@ def test_auto_impl_resolves_by_backend():
 @pytest.mark.parametrize(
     "b,h,kvh,tq,tk,dh,causal,masked",
     [
-        (2, 4, 4, 37, 37, 64, False, False),
-        (1, 4, 4, 33, 33, 64, True, True),
-        (2, 8, 2, 19, 19, 32, True, False),  # grouped-query causal
-        (2, 2, 2, 9, 41, 16, False, True),  # cross attention (Tq != Tk)
+        (2, 8, 1, 19, 19, 128, True, True),  # Gemma-style MQA prefix/causal
+        (2, 8, 2, 19, 19, 128, True, False),  # grouped-query causal
+        (1, 4, 1, 33, 33, 256, False, True),  # MQA, 2 lane tiles per head
     ],
 )
-def test_fused_attention_bthd_layout(b, h, kvh, tq, tk, dh, causal, masked):
-    """The transpose-free [B, T, H, Dh] layout is numerically identical to
-    the default layout on the same problem."""
+def test_fused_attention_packed_gqa(b, h, kvh, tq, tk, dh, causal, masked):
+    """Packed layout with grouped-query/multi-query attention (Dh >= 128)
+    matches the reference — the Gemma decoder configuration."""
     ks = jax.random.split(jax.random.key(7), 4)
     q = _rand(ks[0], (b, h, tq, dh))
     k = _rand(ks[1], (b, kvh, tk, dh))
@@ -174,18 +173,18 @@ def test_fused_attention_bthd_layout(b, h, kvh, tq, tk, dh, causal, masked):
         key_mask = key_mask.at[:, 0].set(True)
 
     want = _sdpa_ref(q, k, v, key_mask=key_mask, causal=causal)
+
+    def pack(x):  # [B,H,T,Dh] -> [B,T,H*Dh]
+        bb, hh, tt, dd = x.shape
+        return jnp.swapaxes(x, 1, 2).reshape(bb, tt, hh * dd)
+
     got = fused_attention(
-        jnp.swapaxes(q, 1, 2),
-        jnp.swapaxes(k, 1, 2),
-        jnp.swapaxes(v, 1, 2),
-        key_mask=key_mask,
-        causal=causal,
-        interpret=True,
-        layout="bthd",
+        pack(q), pack(k), pack(v),
+        key_mask=key_mask, causal=causal, interpret=True,
+        layout="packed", num_heads=h, num_kv_heads=kvh,
     )
-    np.testing.assert_allclose(
-        np.asarray(jnp.swapaxes(got, 1, 2)), np.asarray(want), atol=2e-5, rtol=2e-5
-    )
+    got = jnp.swapaxes(got.reshape(b, tq, h, dh), 1, 2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5, rtol=2e-5)
 
 
 @pytest.mark.parametrize(
@@ -241,3 +240,26 @@ def test_mha_packed_path_matches_xla(pallas_impl):
     layers.set_attention_impl("xla")
     want = mha(p, x, heads, mask=mask)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5, rtol=2e-5)
+
+
+def test_gemma_pallas_packed_branch_matches_xla(pallas_impl):
+    """head_dim 128 routes the Gemma decoder through the packed-layout
+    kernel branch (the real PaliGemma config is head_dim 256)."""
+    from multimodal_embedding_tpu.models.gemma import GemmaConfig, gemma_apply, gemma_init
+
+    cfg = GemmaConfig(
+        vocab_size=64, dim=32, layers=2, heads=2, kv_heads=1, head_dim=128, mlp_dim=64
+    )
+    params = gemma_init(jax.random.key(9), cfg)
+    x = _rand(jax.random.key(10), (2, 11, cfg.dim))
+    attn_mask = jnp.array([[0, 0, 1, 1, 1, 1, 1, 1, 1, 1, 1], [1] * 11], jnp.int32)
+
+    for causal in (False, True):
+        got = gemma_apply(params, cfg, x, attn_mask, causal=causal)
+        layers.set_attention_impl("xla")
+        want = gemma_apply(params, cfg, x, attn_mask, causal=causal)
+        layers.set_attention_impl("pallas")
+        valid = np.asarray(attn_mask, bool)
+        np.testing.assert_allclose(
+            np.asarray(got)[valid], np.asarray(want)[valid], atol=2e-4, rtol=2e-4
+        )
