@@ -90,10 +90,8 @@ def _attn(
         from ..ops.attention_pallas import fused_attention
 
         dh = cfg.head_dim
-        hpb = max(1, 128 // dh)
-        if (128 % dh == 0 or dh % 128 == 0) and cfg.heads % hpb == 0 and (
-            cfg.kv_heads == cfg.heads or hpb == 1
-        ):
+        hpb = math.lcm(dh, 128) // dh
+        if cfg.heads % hpb == 0 and (cfg.kv_heads == cfg.heads or hpb == 1):
             # head_dim 256 is lane-tile-aligned, so the kernel takes the
             # packed [B, T, H*Dh] projection layout — the flattening reshapes
             # fuse into the rope epilogue instead of materializing transposes

@@ -181,7 +181,7 @@ def mha(
     vf = linear(p["v"], kv)
 
     impl = attention_impl_for(dh, tk)
-    if impl == "pallas" and 128 % dh == 0 and n_heads % (128 // dh) == 0:
+    if impl == "pallas" and n_heads % (math.lcm(dh, 128) // dh) == 0:
         # packed layout: the kernel consumes the raw [B, T, H*Dh] projection
         # output — no transpose copies, no HBM lane padding of small head dims
         from ..ops.attention_pallas import fused_attention

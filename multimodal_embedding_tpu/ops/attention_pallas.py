@@ -32,6 +32,7 @@ Used for all tower self-attention via ``--attention-impl pallas``
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -211,11 +212,13 @@ def fused_attention(
         h = num_heads
         dh = hd // h
         assert hd == h * dh, (q.shape, h)
-        assert 128 % dh == 0 or dh % 128 == 0, f"packed layout needs lane-clean Dh, got {dh}"
-        hpb = max(1, 128 // dh)  # heads per trailing block
-        assert h % hpb == 0, (h, hpb)
+        # heads per trailing block: smallest head group whose lane width is a
+        # multiple of the 128-lane tile (1 for Dh >= 128 lane-aligned, 2 for
+        # ViT's 64, 8 for ViT-H's 80, 16 for SigLIP's 72)
+        hpb = math.lcm(dh, 128) // dh
+        assert h % hpb == 0, f"packed layout needs head-group {hpb} | heads {h} (Dh={dh})"
         kvh = h if num_kv_heads is None else num_kv_heads
-        assert kvh == h or hpb == 1, "grouped-query packed needs Dh >= 128"
+        assert kvh == h or hpb == 1, "grouped-query packed needs lane-aligned Dh"
         assert k.shape[-1] == kvh * dh, (k.shape, kvh, dh)
         tk = k.shape[1]
     else:

@@ -196,6 +196,8 @@ def test_fused_attention_packed_gqa(b, h, kvh, tq, tk, dh, causal, masked):
         (2, 8, 19, 19, 32, True, False),  # 4 heads per block
         (2, 2, 9, 41, 64, False, True),  # cross attention
         (1, 2, 21, 21, 128, False, False),  # 1 head per block
+        (1, 8, 19, 19, 80, False, True),  # ViT-H head dim: 8 heads / 640 lanes
+        (1, 16, 9, 17, 72, False, False),  # SigLIP head dim: 16 heads / 1152 lanes
     ],
 )
 def test_fused_attention_packed_layout(b, h, tq, tk, dh, causal, masked):
