@@ -105,21 +105,23 @@ def get_attention_impl() -> str:
 def attention_impl_for(dh: int, tk: int) -> str:
     """Shape-aware resolution of "auto" (measured on v5e, PERF.md):
 
-    - lane-clean head dims (Dh | 128: packed layout; 128 | Dh: direct
-      layout) always profit from the fused kernel;
-    - lane-unfriendly head dims (ViT-H's 80, SigLIP's 72) pad their
-      per-head tiles to 128 lanes, which only pays off once the sequence
-      is long enough that the XLA path's [T, T] logits HBM round-trips
-      dominate (SigLIP @729: +30% with the kernel; ViT-H @257: -15%);
+    - long sequences always profit from the fused kernel (the XLA path's
+      [T, T] logits HBM round-trips dominate): ViT-L @577 +36%,
+      SigLIP @729 +10%, Gemma @1030 -30% attention time;
+    - at medium sequence the kernel needs a lane-clean head dim (Dh | 128
+      packed layout); lane-unfriendly dims (ViT-H's 80) pad per-head tiles
+      to 128 lanes and lose (@257: -11% kernel, bf16-logit SDPA best);
+    - short sequences (text towers @77/64) are VPU/overhead-bound: the
+      plain f32 XLA SDPA wins over both the kernel (-10%) and bf16 logits;
     - off-TPU stays on the max-parity f32 XLA path.
     """
     if _ATTENTION_IMPL != "auto":
         return _ATTENTION_IMPL
     if jax.default_backend() != "tpu":
         return "xla"
-    if 128 % dh == 0 or dh % 128 == 0 or tk >= 512:
+    if tk >= 512 or (tk >= 256 and (128 % dh == 0 or dh % 128 == 0)):
         return "pallas"
-    return "xla_bf16"
+    return "xla_bf16" if tk >= 256 else "xla"
 
 
 def attention_interpret() -> bool:
@@ -181,7 +183,10 @@ def mha(
     vf = linear(p["v"], kv)
 
     impl = attention_impl_for(dh, tk)
-    if impl == "pallas" and n_heads % (math.lcm(dh, 128) // dh) == 0:
+    # lane-clean head dims only: the generalized (lcm) head-grouping compiles
+    # pathologically slowly at Dh=80 on the remote Mosaic path — transposed
+    # blocks stay the default for those shapes
+    if impl == "pallas" and (128 % dh == 0 or dh % 128 == 0) and n_heads % max(1, 128 // dh) == 0:
         # packed layout: the kernel consumes the raw [B, T, H*Dh] projection
         # output — no transpose copies, no HBM lane padding of small head dims
         from ..ops.attention_pallas import fused_attention
