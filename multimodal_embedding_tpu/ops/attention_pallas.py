@@ -143,10 +143,11 @@ def _attn_kernel_packed(
 ):
     """One (batch, head-group, query-block) grid cell in the packed
     [B, T, H*Dh] layout: the lane-tile-aligned trailing block carries
-    ``hpb`` heads side by side (``hpb = max(1, 128 // Dh)``; for Dh >= 128
-    one head spans Dh/128 lane tiles), so the kernel consumes the
-    projection output with zero relayout copies AND zero HBM lane padding
-    (a [B, H, T, 64] operand tile-pads its trailing dim to 128 — 2x bytes).
+    ``hpb = lcm(Dh, 128) / Dh`` heads side by side (2 for Dh=64; 1 for a
+    lane-aligned Dh >= 128, which then spans Dh/128 lane tiles), so the
+    kernel consumes the projection output with zero relayout copies AND
+    zero HBM lane padding (a [B, H, T, 64] operand tile-pads its trailing
+    dim to 128 — 2x bytes).
 
     q_ref: [1, BQ, hpb*Dh]; k_ref/v_ref: [1, Tk, hpb*Dh] (for grouped-query
     attention — hpb == 1 only — the kv block holds the shared kv head);
@@ -197,12 +198,14 @@ def fused_attention(
 ) -> jax.Array:
     """Fused attention. layout "bhtd": q [B, H, Tq, Dh]; k, v
     [B, KVH, Tk, Dh] with KVH | H (grouped-query). layout "packed": q
-    [B, Tq, H*Dh], k, v [B, Tk, KVH*Dh] with ``num_heads`` (and
-    ``num_kv_heads`` for grouped-query, Dh >= 128 only) given and Dh | 128
-    or 128 | Dh — the raw projection output; no relayout copies AND no HBM
-    lane padding (a transposed [B, H, T, 64] operand tile-pads its trailing
-    dim to 128 lanes = 2x bytes). key_mask [B, Tk] bool/int (True =
-    attend). Returns q's layout/dtype.
+    [B, Tq, H*Dh], k, v [B, Tk, KVH*Dh] with ``num_heads`` given (and
+    ``num_kv_heads`` for grouped-query — lane-aligned Dh >= 128 only) —
+    the raw projection output; no relayout copies AND no HBM lane padding
+    (a transposed [B, H, T, 64] operand tile-pads its trailing dim to 128
+    lanes = 2x bytes). Requires lcm(Dh, 128)/Dh to divide num_heads; note
+    that lane-unfriendly head dims (80, 72) compile very slowly — the
+    model layer only routes lane-clean dims here. key_mask [B, Tk]
+    bool/int (True = attend). Returns q's layout/dtype.
     """
     assert layout in ("bhtd", "packed"), layout
     packed = layout == "packed"
