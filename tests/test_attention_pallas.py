@@ -265,3 +265,24 @@ def test_gemma_pallas_packed_branch_matches_xla(pallas_impl):
         np.testing.assert_allclose(
             np.asarray(got)[valid], np.asarray(want)[valid], atol=2e-4, rtol=2e-4
         )
+
+
+def test_attention_impl_for_shape_dispatch(monkeypatch):
+    """The measured crossover table: kernel at long seq (or medium seq with
+    a lane-clean head dim), bf16-logit SDPA at medium, f32 SDPA short."""
+    prev = layers._ATTENTION_IMPL
+    try:
+        layers.set_attention_impl("auto")
+        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+        assert layers.attention_impl_for(64, 577) == "pallas"  # ViT-L
+        assert layers.attention_impl_for(72, 729) == "pallas"  # SigLIP
+        assert layers.attention_impl_for(256, 1030) == "pallas"  # Gemma
+        assert layers.attention_impl_for(80, 257) == "xla_bf16"  # ViT-H
+        assert layers.attention_impl_for(64, 77) == "xla"  # CLIP text
+        assert layers.attention_impl_for(64, 64) == "xla"  # SigLIP text
+        monkeypatch.setattr(jax, "default_backend", lambda: "cpu")
+        assert layers.attention_impl_for(64, 577) == "xla"
+        layers.set_attention_impl("pallas")  # explicit choice passes through
+        assert layers.attention_impl_for(80, 257) == "pallas"
+    finally:
+        layers.set_attention_impl(prev)
