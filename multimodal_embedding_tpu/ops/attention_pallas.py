@@ -176,6 +176,38 @@ def _attn_kernel_packed(
 _LOGITS_VMEM_BUDGET = 6 * 2**20
 
 
+def _sdpa_reference(q, k, v, km, *, causal: bool, sm_scale: float):
+    """Differentiable XLA twin of the kernel ([B, H, Tq, Dh] layout, same
+    numerics: f32 logits, finite masking, f32 softmax, probs cast to the
+    value dtype). Backs the kernel's custom_vjp — the backward pass
+    recomputes through this instead of saving logits, so training through
+    the fused forward costs no extra HBM residuals."""
+    b, h, tq, dh = q.shape
+    kvh = k.shape[1]
+    if kvh != h:
+        k = jnp.repeat(k, h // kvh, axis=1)
+        v = jnp.repeat(v, h // kvh, axis=1)
+    logits = (
+        jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32) * sm_scale
+    )
+    valid = None
+    if km is not None:
+        valid = jnp.broadcast_to(km[:, None, None, :].astype(bool), logits.shape)
+    if causal:
+        cm = jnp.broadcast_to(jnp.tril(jnp.ones((tq, k.shape[2]), bool))[None, None], logits.shape)
+        valid = cm if valid is None else valid & cm
+    if valid is not None:
+        logits = jnp.where(valid, logits, NEG_INF)
+    attn = jax.nn.softmax(logits, axis=-1)
+    if valid is not None:
+        # match the kernel: fully-masked rows produce exact zeros
+        any_valid = jnp.max(valid.astype(jnp.float32), axis=-1, keepdims=True)
+        attn = attn * any_valid
+    attn = attn.astype(v.dtype)
+    out = jnp.einsum("bhqk,bhkd->bhqd", attn, v, preferred_element_type=jnp.float32)
+    return out.astype(q.dtype)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -291,7 +323,7 @@ def fused_attention(
             block_q=block_q,
             has_km=has_km,
         )
-    out = pl.pallas_call(
+    call = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=in_specs,
@@ -306,5 +338,55 @@ def fused_attention(
             transcendentals=b * h * tq * tk,
         ),
         interpret=interpret,
-    )(*operands)
-    return out
+    )
+
+    # Differentiable: the kernel runs the primal; the backward pass
+    # recomputes through the XLA twin (rematerialization — no logits saved),
+    # so GRPO training differentiates straight through the fused forward.
+    if packed:
+        def _to_bhtd(x, nh):
+            bb, tt, hdd = x.shape
+            return jnp.swapaxes(x.reshape(bb, tt, nh, hdd // nh), 1, 2)
+
+        def ref(q_, k_, v_, km_):
+            o = _sdpa_reference(
+                _to_bhtd(q_, h), _to_bhtd(k_, kvh), _to_bhtd(v_, kvh), km_,
+                causal=causal, sm_scale=float(sm_scale),
+            )
+            return jnp.swapaxes(o, 1, 2).reshape(q_.shape)
+    else:
+        def ref(q_, k_, v_, km_):
+            return _sdpa_reference(q_, k_, v_, km_, causal=causal, sm_scale=float(sm_scale))
+
+    if has_km:
+        @jax.custom_vjp
+        def attn_op(q_, k_, v_, km_):
+            return call(q_, k_, v_, km_)
+
+        def attn_fwd(q_, k_, v_, km_):
+            return attn_op(q_, k_, v_, km_), (q_, k_, v_, km_)
+
+        def attn_bwd(res, g):
+            q_, k_, v_, km_ = res
+            _, vjp = jax.vjp(lambda a, b, c: ref(a, b, c, km_[:, 0, :]), q_, k_, v_)
+            import numpy as np
+
+            return (*vjp(g), np.zeros(km_.shape, jax.dtypes.float0))
+
+        attn_op.defvjp(attn_fwd, attn_bwd)
+        return attn_op(*operands)
+
+    @jax.custom_vjp
+    def attn_op(q_, k_, v_):
+        return call(q_, k_, v_)
+
+    def attn_fwd(q_, k_, v_):
+        return attn_op(q_, k_, v_), (q_, k_, v_)
+
+    def attn_bwd(res, g):
+        q_, k_, v_ = res
+        _, vjp = jax.vjp(lambda a, b, c: ref(a, b, c, None), q_, k_, v_)
+        return vjp(g)
+
+    attn_op.defvjp(attn_fwd, attn_bwd)
+    return attn_op(*operands)

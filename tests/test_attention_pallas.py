@@ -286,3 +286,46 @@ def test_attention_impl_for_shape_dispatch(monkeypatch):
         assert layers.attention_impl_for(80, 257) == "pallas"
     finally:
         layers.set_attention_impl(prev)
+
+
+@pytest.mark.parametrize(
+    "layout,causal,masked",
+    [("bhtd", False, False), ("bhtd", True, True), ("packed", False, True), ("packed", True, False)],
+)
+def test_fused_attention_grads_match_xla(layout, causal, masked):
+    """The kernel's custom_vjp (XLA-recompute backward) produces the same
+    q/k/v gradients as differentiating the plain SDPA — the GRPO trainer
+    differentiates through the fused forward."""
+    b, h, t, dh = 2, 4, 21, 64
+    ks = jax.random.split(jax.random.key(13), 4)
+    q = _rand(ks[0], (b, h, t, dh))
+    k = _rand(ks[1], (b, h, t, dh))
+    v = _rand(ks[2], (b, h, t, dh))
+    key_mask = None
+    if masked:
+        key_mask = jax.random.bernoulli(ks[3], 0.8, (b, t)).at[:, 0].set(True)
+
+    def pack(x):
+        bb, hh, tt, dd = x.shape
+        return jnp.swapaxes(x, 1, 2).reshape(bb, tt, hh * dd)
+
+    if layout == "packed":
+        def loss_fused(q_, k_, v_):
+            o = fused_attention(
+                pack(q_), pack(k_), pack(v_), key_mask=key_mask, causal=causal,
+                interpret=True, layout="packed", num_heads=h,
+            )
+            return jnp.sum(o * o)
+    else:
+        def loss_fused(q_, k_, v_):
+            o = fused_attention(q_, k_, v_, key_mask=key_mask, causal=causal, interpret=True)
+            return jnp.sum(o * o)
+
+    def loss_ref(q_, k_, v_):
+        o = _sdpa_ref(q_, k_, v_, key_mask=key_mask, causal=causal)
+        return jnp.sum(o * o)
+
+    got = jax.grad(loss_fused, argnums=(0, 1, 2))(q, k, v)
+    want = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for gg, ww in zip(got, want):
+        np.testing.assert_allclose(np.asarray(gg), np.asarray(ww), atol=5e-4, rtol=5e-4)
