@@ -4,8 +4,13 @@ Times the full ViT-L/14-336 image forward (the benchmark's dominant phase)
 at batch 64 from device-resident pixels for each --attention-impl, and
 cross-checks CLS-embedding cosine between implementations.
 
+--sweep re-measures every crossover the "auto" dispatch table encodes
+(layers.attention_impl_for): ViT-H @257, SigLIP @729 image towers and the
+CLIP-L/LAION-H @77 text towers — rerun after kernel changes and update
+the table if a winner flips.
+
 Usage: python benchmarks/attn_impl_bench.py [--impls xla,xla_bf16,pallas]
-       [--batch 64] [--iters 4] [--colpali]
+       [--batch 64] [--iters 4] [--colpali] [--sweep]
 """
 
 from __future__ import annotations
@@ -27,6 +32,8 @@ def main() -> None:
     ap.add_argument("--iters", type=int, default=4)
     ap.add_argument("--colpali", action="store_true", help="also bench the Gemma/ColPali image forward")
     ap.add_argument("--colpali-batch", type=int, default=4)
+    ap.add_argument("--sweep", action="store_true",
+                    help="re-measure the auto-dispatch crossover shapes (ViT-H, SigLIP, text towers)")
     args = ap.parse_args()
 
     import jax
@@ -78,6 +85,48 @@ def main() -> None:
             continue
         cos = float(np.mean(np.sum(o * outs[base], -1)))
         print(f"  cosine({impl}, {base}) = {cos:.6f}")
+
+    if args.sweep:
+        from multimodal_embedding_tpu.models.towers import encode_text
+
+        def bench(label, build_fwd, params_, inp, n):
+            for impl in args.impls.split(","):
+                if impl == "flash":
+                    continue
+                layers.set_attention_impl(impl)
+                fwd = jax.jit(build_fwd())
+                o = fwd(params_, inp)
+                hard_sync(o)
+                t0 = time.perf_counter()
+                for _ in range(args.iters):
+                    o = fwd(params_, inp)
+                hard_sync(o)
+                dt = (time.perf_counter() - t0) / args.iters
+                print(f"{label} {impl:9s}: {n / dt:8.1f} items/s  ({dt*1e3:.1f} ms)")
+                fwd.clear_cache()
+
+        for name, ib, tb in [("LAION-CLIP-H", 32, 256), ("SigLIP-400M", 32, 256)]:
+            scfg = full_arch_config(name)
+            sparams = dual_encoder_init(jax.random.key(4), scfg, jnp.bfloat16)
+            spx = jax.random.normal(
+                jax.random.key(5),
+                (ib, scfg.vision.image_size, scfg.vision.image_size, 3),
+                jnp.bfloat16,
+            )
+            bench(
+                f"{name} image b{ib}",
+                lambda scfg=scfg: (lambda p, x: l2_normalize(encode_image(p, scfg, x))),
+                sparams, spx, ib,
+            )
+            ids = jnp.asarray(
+                np.random.default_rng(0).integers(2, 30000, (tb, scfg.text.max_len)), jnp.int32
+            )
+            bench(
+                f"{name} text  b{tb}",
+                lambda scfg=scfg: (lambda p, i: l2_normalize(encode_text(p, scfg, i))),
+                sparams, ids, tb,
+            )
+            del sparams
 
     if args.colpali:
         from multimodal_embedding_tpu.models.arch import full_colpali_config
