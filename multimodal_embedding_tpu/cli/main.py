@@ -222,9 +222,14 @@ def main(argv=None) -> int:
 
     from ..models.layers import set_attention_impl
 
-    if args.attention_impl == "auto" and args.tensor_parallel > 1:
+    if args.tensor_parallel > 1 and args.attention_impl in ("auto", "pallas", "flash"):
         # GSPMD cannot auto-partition a pallas_call over the model axis; the
         # einsum SDPA partitions cleanly under the Megatron param shardings
+        if args.attention_impl != "auto":
+            logger.warning(
+                f"--attention-impl {args.attention_impl} cannot shard over the "
+                f"model axis; using xla_bf16 under --tensor-parallel"
+            )
         set_attention_impl("xla_bf16")
     else:
         set_attention_impl(args.attention_impl)

@@ -83,9 +83,12 @@ def _attn(
     q = _rope(q, positions, cfg.rope_theta)
     k = _rope(k, positions, cfg.rope_theta)
 
-    from .layers import attention_interpret, get_attention_impl
+    from .layers import attention_impl_for, attention_interpret
 
-    impl = get_attention_impl()
+    # shape-aware like layers.mha: ColPali's ~20-70-token text queries take
+    # the measured-faster XLA path; the 1030-token image prefix takes the
+    # kernel (PERF.md crossovers)
+    impl = attention_impl_for(cfg.head_dim, t)
     if impl == "pallas":
         from ..ops.attention_pallas import fused_attention
 

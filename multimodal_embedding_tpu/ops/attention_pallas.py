@@ -50,7 +50,6 @@ def _attn_kernel(
     *refs,
     sm_scale: float,
     causal: bool,
-    tk_valid: int,
     block_q: int,
     has_km: bool,
 ):
@@ -82,13 +81,12 @@ def _attn_kernel(
         iq,
         sm_scale=sm_scale,
         causal=causal,
-        tk_valid=tk_valid,
         block_q=block_q,
     )
     o_ref[0, 0] = out.astype(o_ref.dtype)
 
 
-def _attn_core(q, k, v, km, iq, *, sm_scale, causal, tk_valid, block_q):
+def _attn_core(q, k, v, km, iq, *, sm_scale, causal, block_q):
     """Softmax attention of one query block against all keys.
 
     q [BQ, Dh]; k, v [Tk, Dh]; km [1, Tk] int or None; iq = q-block index.
@@ -98,17 +96,13 @@ def _attn_core(q, k, v, km, iq, *, sm_scale, causal, tk_valid, block_q):
         q, k, dimension_numbers=(((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
 
-    tkp = logits.shape[-1]
-    need_pad_mask = tk_valid < tkp
     has_km = km is not None
     valid = None
-    if need_pad_mask or has_km or causal:
-        col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
-        valid = col < tk_valid if need_pad_mask else None
+    if has_km or causal:
         if has_km:
-            kmb = km != 0  # [1, Tk] broadcasts over rows
-            valid = kmb if valid is None else valid & kmb
+            valid = km != 0  # [1, Tk] broadcasts over rows
         if causal:
+            col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
             row = iq * block_q + jax.lax.broadcasted_iota(jnp.int32, logits.shape, 0)
             cm = col <= row
             valid = cm if valid is None else valid & cm
@@ -119,7 +113,7 @@ def _attn_core(q, k, v, km, iq, *, sm_scale, causal, tk_valid, block_q):
     m = jnp.max(logits, axis=-1, keepdims=True)
     p = jnp.exp(logits - m)
     denom = jnp.sum(p, axis=-1, keepdims=True)  # [BQ, 1]
-    if valid is not None and (has_km or causal):
+    if valid is not None:
         # Fully-masked rows (left-padded queries under causal masking) get
         # exact zeros — deterministic, and confined to positions every
         # downstream consumer masks out. (XLA leaves a uniform average.)
@@ -138,7 +132,7 @@ def _attn_core(q, k, v, km, iq, *, sm_scale, causal, tk_valid, block_q):
 
 
 def _attn_kernel_packed(
-    *refs, sm_scale: float, causal: bool, tk_valid: int, block_q: int, has_km: bool,
+    *refs, sm_scale: float, causal: bool, block_q: int, has_km: bool,
     hpb: int, dh: int,
 ):
     """One (batch, head-group, query-block) grid cell in the packed
@@ -166,7 +160,7 @@ def _attn_kernel_packed(
         sl = slice(j * dh, (j + 1) * dh)
         out = _attn_core(
             q2[:, sl], k2[:, sl], v2[:, sl], km, iq,
-            sm_scale=sm_scale, causal=causal, tk_valid=tk_valid, block_q=block_q,
+            sm_scale=sm_scale, causal=causal, block_q=block_q,
         )
         o_ref[0, :, sl] = out.astype(o_ref.dtype)
 
@@ -307,7 +301,6 @@ def fused_attention(
             _attn_kernel_packed,
             sm_scale=float(sm_scale),
             causal=causal,
-            tk_valid=tk,
             block_q=block_q,
             has_km=has_km,
             hpb=hpb,
@@ -319,7 +312,6 @@ def fused_attention(
             _attn_kernel,
             sm_scale=float(sm_scale),
             causal=causal,
-            tk_valid=tk,
             block_q=block_q,
             has_km=has_km,
         )

@@ -32,10 +32,14 @@ def get_mesh(n_data: int | None = None, n_model: int = 1, devices=None) -> Mesh:
     a host; use :func:`get_multihost_mesh` to make the DCN axis explicit.
     """
     devices = list(devices if devices is not None else jax.devices())
+    if n_model > len(devices):
+        raise ValueError(
+            f"--tensor-parallel {n_model} needs {n_model} devices, have {len(devices)}"
+        )
     if n_data is None:
         n_data = len(devices) // n_model
     need = n_data * n_model
-    if need > len(devices):
+    if n_data < 1 or need > len(devices):
         raise ValueError(f"mesh ({n_data}x{n_model}) needs {need} devices, have {len(devices)}")
     dev_array = np.asarray(devices[:need]).reshape(n_data, n_model)
     return Mesh(dev_array, (DATA_AXIS, MODEL_AXIS))

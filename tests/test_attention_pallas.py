@@ -86,9 +86,10 @@ def test_fused_attention_bf16_matches_xla_numerics():
 
 @pytest.fixture
 def pallas_impl():
+    prev = layers._ATTENTION_IMPL
     layers.set_attention_impl("pallas")
     yield
-    layers.set_attention_impl("xla")
+    layers.set_attention_impl(prev)
 
 
 def test_mha_pallas_impl_matches_xla(pallas_impl):

@@ -104,3 +104,17 @@ def test_tp_gemma_matches_unsharded():
             )
         )
     np.testing.assert_allclose(got, want, atol=3e-5, rtol=3e-5)
+
+
+def test_get_mesh_rejects_oversized_model_axis():
+    """--tensor-parallel beyond the device count must fail with a clear
+    error, not a 0-sized data axis and a downstream ZeroDivisionError."""
+    import pytest
+
+    from multimodal_embedding_tpu.parallel.mesh import get_mesh
+
+    devices = jax.devices()[:1]
+    with pytest.raises(ValueError, match="tensor-parallel"):
+        get_mesh(n_model=2, devices=devices)
+    with pytest.raises(ValueError, match="devices"):
+        get_mesh(n_data=4, n_model=1, devices=devices[:1] * 1)
