@@ -48,6 +48,10 @@ def linear(p: Params, x: jax.Array) -> jax.Array:
 
 
 def layer_norm(p: Params, x: jax.Array, eps: float = 1e-5) -> jax.Array:
+    # Stays on XLA deliberately: a standalone row-blocked Pallas LN
+    # (ops/layernorm_pallas.py) measured SLOWER end-to-end (298 vs 328
+    # img/s, ViT-L b64) — XLA fuses the LN into neighboring elementwise
+    # ops, and a custom call breaks those fusions (PERF.md).
     xf = x.astype(jnp.float32)
     mu = jnp.mean(xf, axis=-1, keepdims=True)
     var = jnp.var(xf, axis=-1, keepdims=True)
