@@ -133,6 +133,31 @@ def attention_interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+# Encoder-layer implementation:
+#  - "xla":   encoder_layer as separate XLA ops (max-parity reference path)
+#  - "fused": the residual+LN+matmul prologue Pallas kernel
+#    (ops/fused_ln_matmul.py) feeds the attention kernel and the MLP — kills
+#    the LN/elementwise HBM round-trips XLA runs ~2x off the roofline
+#    (measured ~25% of the ViT-L forward, PERF.md round 2)
+#  - "auto":  "fused" on TPU, "xla" elsewhere
+_LAYER_IMPL = "auto"
+
+LAYER_IMPLS = ("auto", "xla", "fused")
+
+
+def set_layer_impl(impl: str) -> None:
+    global _LAYER_IMPL
+    assert impl in LAYER_IMPLS
+    _LAYER_IMPL = impl
+
+
+def get_layer_impl() -> str:
+    """Resolved implementation name (never "auto")."""
+    if _LAYER_IMPL == "auto":
+        return "fused" if jax.default_backend() == "tpu" else "xla"
+    return _LAYER_IMPL
+
+
 def _flash_sdpa(q: jax.Array, k: jax.Array, v: jax.Array, causal: bool) -> jax.Array:
     """q/k/v [B, T, H, Dh] -> [B, T, H, Dh] via the Pallas TPU kernel."""
     from jax.experimental.pallas.ops.tpu.flash_attention import flash_attention
@@ -161,6 +186,85 @@ def _flash_sdpa(q: jax.Array, k: jax.Array, v: jax.Array, causal: bool) -> jax.A
     return jnp.swapaxes(out, 1, 2)[:, :t]
 
 
+def packed_kernel_ok(dh: int, n_heads: int) -> bool:
+    """Lane-clean head dims only: the generalized (lcm) head-grouping
+    compiles pathologically slowly at Dh=80 on the remote Mosaic path —
+    transposed blocks stay the default for those shapes."""
+    return (128 % dh == 0 or dh % 128 == 0) and n_heads % max(1, 128 // dh) == 0
+
+
+def attention_core(
+    qf: jax.Array,
+    kf: jax.Array,
+    vf: jax.Array,
+    n_heads: int,
+    *,
+    causal: bool = False,
+    mask: jax.Array | None = None,
+    self_attn: bool = True,
+) -> jax.Array:
+    """Scaled-dot-product attention over projected activations.
+
+    qf [B, Tq, D]; kf/vf [B, Tk, D]; mask [B, Tk] (True = attend). Dispatches
+    to the implementation selected by :func:`attention_impl_for`. Returns
+    [B, Tq, D] in qf's dtype (pre output-projection).
+    """
+    b, tq, d = qf.shape
+    tk = kf.shape[1]
+    dh = d // n_heads
+    x = qf
+
+    impl = attention_impl_for(dh, tk)
+    if impl == "pallas" and packed_kernel_ok(dh, n_heads):
+        # packed layout: the kernel consumes the raw [B, T, H*Dh] projection
+        # output — no transpose copies, no HBM lane padding of small head dims
+        from ..ops.attention_pallas import fused_attention
+
+        out = fused_attention(
+            qf, kf, vf,
+            key_mask=mask,
+            causal=causal,
+            interpret=attention_interpret(),
+            layout="packed",
+            num_heads=n_heads,
+        )
+        return out.astype(x.dtype)
+
+    q = qf.reshape(b, tq, n_heads, dh)
+    k = kf.reshape(b, tk, n_heads, dh)
+    v = vf.reshape(b, tk, n_heads, dh)
+
+    if impl == "flash" and self_attn and mask is None:
+        return _flash_sdpa(q, k, v, causal).astype(x.dtype).reshape(b, tq, d)
+
+    if impl == "pallas":
+        from ..ops.attention_pallas import fused_attention
+
+        out = fused_attention(
+            jnp.swapaxes(q, 1, 2),
+            jnp.swapaxes(k, 1, 2),
+            jnp.swapaxes(v, 1, 2),
+            key_mask=mask,
+            causal=causal,
+            interpret=attention_interpret(),
+        )
+        return jnp.swapaxes(out, 1, 2).astype(x.dtype).reshape(b, tq, d)
+
+    if impl == "xla_bf16":
+        logits = (jnp.einsum("bqhd,bkhd->bhqk", q, k) / math.sqrt(dh)).astype(jnp.float32)
+    else:
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
+        logits = logits / math.sqrt(dh)
+    if causal:
+        cm = jnp.tril(jnp.ones((tq, tk), bool))
+        logits = jnp.where(cm[None, None], logits, -jnp.inf)
+    if mask is not None:
+        logits = jnp.where(mask[:, None, None, :], logits, -jnp.inf)
+    attn = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
+    out = jnp.einsum("bhqk,bkhd->bqhd", attn, v, preferred_element_type=jnp.float32)
+    return out.astype(x.dtype).reshape(b, tq, d)
+
+
 def mha(
     p: Params,
     x: jax.Array,
@@ -178,68 +282,12 @@ def mha(
     """
     self_attn = kv is None
     kv = x if kv is None else kv
-    b, tq, d = x.shape
-    tk = kv.shape[1]
-    dh = d // n_heads
 
     qf = linear(p["q"], x)
     kf = linear(p["k"], kv)
     vf = linear(p["v"], kv)
 
-    impl = attention_impl_for(dh, tk)
-    # lane-clean head dims only: the generalized (lcm) head-grouping compiles
-    # pathologically slowly at Dh=80 on the remote Mosaic path — transposed
-    # blocks stay the default for those shapes
-    if impl == "pallas" and (128 % dh == 0 or dh % 128 == 0) and n_heads % max(1, 128 // dh) == 0:
-        # packed layout: the kernel consumes the raw [B, T, H*Dh] projection
-        # output — no transpose copies, no HBM lane padding of small head dims
-        from ..ops.attention_pallas import fused_attention
-
-        out = fused_attention(
-            qf, kf, vf,
-            key_mask=mask,
-            causal=causal,
-            interpret=attention_interpret(),
-            layout="packed",
-            num_heads=n_heads,
-        )
-        return linear(p["o"], out.astype(x.dtype))
-
-    q = qf.reshape(b, tq, n_heads, dh)
-    k = kf.reshape(b, tk, n_heads, dh)
-    v = vf.reshape(b, tk, n_heads, dh)
-
-    if impl == "flash" and self_attn and mask is None:
-        out = _flash_sdpa(q, k, v, causal).astype(x.dtype).reshape(b, tq, d)
-        return linear(p["o"], out)
-
-    if impl == "pallas":
-        from ..ops.attention_pallas import fused_attention
-
-        out = fused_attention(
-            jnp.swapaxes(q, 1, 2),
-            jnp.swapaxes(k, 1, 2),
-            jnp.swapaxes(v, 1, 2),
-            key_mask=mask,
-            causal=causal,
-            interpret=attention_interpret(),
-        )
-        out = jnp.swapaxes(out, 1, 2).astype(x.dtype).reshape(b, tq, d)
-        return linear(p["o"], out)
-
-    if impl == "xla_bf16":
-        logits = (jnp.einsum("bqhd,bkhd->bhqk", q, k) / math.sqrt(dh)).astype(jnp.float32)
-    else:
-        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
-        logits = logits / math.sqrt(dh)
-    if causal:
-        cm = jnp.tril(jnp.ones((tq, tk), bool))
-        logits = jnp.where(cm[None, None], logits, -jnp.inf)
-    if mask is not None:
-        logits = jnp.where(mask[:, None, None, :], logits, -jnp.inf)
-    attn = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
-    out = jnp.einsum("bhqk,bkhd->bqhd", attn, v, preferred_element_type=jnp.float32)
-    out = out.astype(x.dtype).reshape(b, tq, d)
+    out = attention_core(qf, kf, vf, n_heads, causal=causal, mask=mask, self_attn=self_attn)
     return linear(p["o"], out)
 
 
@@ -263,13 +311,85 @@ def encoder_stack(
     stacked: Params, x: jax.Array, n_heads: int, act: str, *,
     causal: bool = False, mask: jax.Array | None = None, ln_eps: float = 1e-5,
 ) -> jax.Array:
-    """Scan one compiled layer body over stacked per-layer params."""
+    """Scan one compiled layer body over stacked per-layer params.
+
+    Dispatches between the plain XLA layer and the fused-prologue layer
+    (residual+LN+matmul Pallas kernel feeding the attention kernel) per
+    :func:`get_layer_impl`.
+    """
+    if get_layer_impl() == "fused":
+        return _fused_encoder_stack(
+            stacked, x, n_heads, act, causal=causal, mask=mask, ln_eps=ln_eps
+        )
 
     def body(h, layer_p):
         return encoder_layer(layer_p, h, n_heads, act, causal=causal, mask=mask, ln_eps=ln_eps), None
 
     out, _ = jax.lax.scan(body, x, stacked)
     return out
+
+
+def _fused_encoder_stack(
+    stacked: Params, x: jax.Array, n_heads: int, act: str, *,
+    causal: bool = False, mask: jax.Array | None = None, ln_eps: float = 1e-5,
+) -> jax.Array:
+    """Pre-LN encoder scan built on the fused residual+LN+matmul prologue
+    kernel (ops/fused_ln_matmul.py).
+
+    Each layer runs as: one prologue kernel producing (residual stream,
+    stacked QKV), the attention kernel reading q/k/v straight out of the
+    stacked projection (zero relayout), the XLA output projection, a second
+    prologue producing (residual stream, activated MLP hidden), and the XLA
+    down projection. The scan carries ``(x, delta)`` — the residual stream
+    and the not-yet-added sublayer output — so every residual add happens
+    inside a kernel that was already reading both operands; the single
+    deferred add materializes once after the scan.
+
+    Numerics are op-for-op identical to :func:`encoder_layer` (same f32
+    statistics, same cast points) — enforced by tests/test_fused_layer.py.
+    """
+    from ..ops.fused_ln_matmul import fused_res_norm_matmul
+
+    d = x.shape[-1]
+    dh = d // n_heads
+    tk = x.shape[1]
+    interp = attention_interpret()
+    use_qkv_kernel = attention_impl_for(dh, tk) == "pallas" and packed_kernel_ok(dh, n_heads)
+
+    def body(carry, lp):
+        h, delta = carry
+        w_qkv = jnp.concatenate(
+            [lp["attn"]["q"]["w"], lp["attn"]["k"]["w"], lp["attn"]["v"]["w"]], axis=1
+        )
+        b_qkv = jnp.concatenate(
+            [lp["attn"]["q"]["b"], lp["attn"]["k"]["b"], lp["attn"]["v"]["b"]]
+        )
+        h1, qkv = fused_res_norm_matmul(
+            h, delta, lp["ln1"]["scale"], lp["ln1"]["bias"], w_qkv, b_qkv,
+            norm="ln", eps=ln_eps, interpret=interp,
+        )
+        if use_qkv_kernel:
+            from ..ops.attention_pallas import fused_attention_qkv
+
+            attn = fused_attention_qkv(
+                qkv, key_mask=mask, causal=causal, num_heads=n_heads, interpret=interp
+            ).astype(h.dtype)
+        else:
+            attn = attention_core(
+                qkv[..., :d], qkv[..., d : 2 * d], qkv[..., 2 * d :],
+                n_heads, causal=causal, mask=mask,
+            )
+        ao = linear(lp["attn"]["o"], attn)
+        h2, mlp_h = fused_res_norm_matmul(
+            h1, ao, lp["ln2"]["scale"], lp["ln2"]["bias"],
+            lp["mlp"]["fc1"]["w"], lp["mlp"]["fc1"]["b"],
+            norm="ln", eps=ln_eps, act=act, interpret=interp,
+        )
+        mo = linear(lp["mlp"]["fc2"], mlp_h)
+        return (h2, mo), None
+
+    (xf, df), _ = jax.lax.scan(body, (x, jnp.zeros_like(x)), stacked)
+    return xf + df
 
 
 def encoder_stack_init(key, n_layers: int, dim: int, mlp_dim: int, dtype=jnp.float32) -> Params:

@@ -326,7 +326,7 @@ def fused_attention(
         ),
         cost_estimate=pl.CostEstimate(
             flops=4 * b * h * tq * tk * dh,
-            bytes_accessed=2 * (b * h * tq * dh * 2 + b * kvh * tk * dh * 2),
+            bytes_accessed=2 * q.dtype.itemsize * (b * h * tq * dh + b * kvh * tk * dh),
             transcendentals=b * h * tq * tk,
         ),
         interpret=interpret,
@@ -382,3 +382,152 @@ def fused_attention(
 
     attn_op.defvjp(attn_fwd, attn_bwd)
     return attn_op(*operands)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("causal", "sm_scale", "block_q", "interpret", "num_heads", "num_kv_heads"),
+)
+def fused_attention_qkv(
+    qkv: jax.Array,
+    key_mask: jax.Array | None = None,
+    *,
+    causal: bool = False,
+    sm_scale: float | None = None,
+    block_q: int | None = None,
+    interpret: bool = False,
+    num_heads: int | None = None,
+    num_kv_heads: int | None = None,
+) -> jax.Array:
+    """Packed-layout attention over a *stacked* QKV projection output.
+
+    qkv: [B, T, H*Dh + 2*KVH*Dh] — the single-matmul q|k|v column concat
+    produced by ops/fused_ln_matmul.py's prologue kernel. The kernel reads
+    q, k and v directly out of this array via block-index offsets (the same
+    array is passed as three operands with different index maps), so the
+    projection output flows into attention with ZERO slicing/relayout copies
+    in HBM. Self-attention only (Tk == Tq). Returns [B, T, H*Dh] in qkv's
+    dtype. Numerics identical to ``fused_attention(layout="packed")``.
+    """
+    assert num_heads is not None
+    h = num_heads
+    kvh = h if num_kv_heads is None else num_kv_heads
+    b, t, total = qkv.shape
+    dh = total // (h + 2 * kvh)
+    assert total == (h + 2 * kvh) * dh, (qkv.shape, h, kvh)
+    assert h % kvh == 0, (h, kvh)
+    g = h // kvh
+    hpb = math.lcm(dh, 128) // dh
+    assert h % hpb == 0, f"packed layout needs head-group {hpb} | heads {h} (Dh={dh})"
+    assert kvh == h or hpb == 1, "grouped-query packed needs lane-aligned Dh"
+    assert kvh % hpb == 0 or kvh == h, (kvh, hpb)
+    if sm_scale is None:
+        sm_scale = 1.0 / (dh**0.5)
+
+    lanes = _ceil_to(t, 128)
+    if block_q is None:
+        rows_budget = max(128, _LOGITS_VMEM_BUDGET // (6 * lanes) // 8 * 8)
+        n_q_blocks = -(-_ceil_to(t, 8) // rows_budget)
+        block_q = _ceil_to(-(-t // n_q_blocks), 8)
+
+    # block-index offsets (in units of the hpb*dh block width) of the k and
+    # v column ranges inside the stacked array; exact because hpb | h and
+    # (hpb == 1 whenever kvh != h)
+    k_off = h // hpb
+    v_off = k_off + kvh // hpb
+
+    q_spec = pl.BlockSpec(
+        (1, block_q, hpb * dh), lambda bi, hi, qi: (bi, qi, hi), memory_space=pltpu.VMEM
+    )
+    k_spec = pl.BlockSpec(
+        (1, t, hpb * dh), lambda bi, hi, qi, _g=g, _o=k_off: (bi, 0, _o + hi // _g),
+        memory_space=pltpu.VMEM,
+    )
+    v_spec = pl.BlockSpec(
+        (1, t, hpb * dh), lambda bi, hi, qi, _g=g, _o=v_off: (bi, 0, _o + hi // _g),
+        memory_space=pltpu.VMEM,
+    )
+    out_spec = pl.BlockSpec(
+        (1, block_q, hpb * dh), lambda bi, hi, qi: (bi, qi, hi), memory_space=pltpu.VMEM
+    )
+    in_specs = [q_spec, k_spec, v_spec]
+    has_km = key_mask is not None
+    if has_km:
+        in_specs.append(
+            pl.BlockSpec((1, 1, t), lambda bi, hi, qi: (bi, 0, 0), memory_space=pltpu.VMEM)
+        )
+
+    kernel = functools.partial(
+        _attn_kernel_packed,
+        sm_scale=float(sm_scale),
+        causal=causal,
+        block_q=block_q,
+        has_km=has_km,
+        hpb=hpb,
+        dh=dh,
+    )
+    call = pl.pallas_call(
+        kernel,
+        grid=(b, h // hpb, -(-t // block_q)),
+        in_specs=in_specs,
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((b, t, h * dh), qkv.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * t * t * dh,
+            bytes_accessed=qkv.dtype.itemsize * (2 * b * t * total),
+            transcendentals=b * h * t * t,
+        ),
+        interpret=interpret,
+    )
+
+    def _to_bhtd(x, nh):
+        bb, tt, hdd = x.shape
+        return jnp.swapaxes(x.reshape(bb, tt, nh, hdd // nh), 1, 2)
+
+    def ref(qkv_, km_):
+        q_ = qkv_[..., : h * dh]
+        k_ = qkv_[..., h * dh : (h + kvh) * dh]
+        v_ = qkv_[..., (h + kvh) * dh :]
+        o = _sdpa_reference(
+            _to_bhtd(q_, h), _to_bhtd(k_, kvh), _to_bhtd(v_, kvh), km_,
+            causal=causal, sm_scale=float(sm_scale),
+        )
+        return jnp.swapaxes(o, 1, 2).reshape(b, t, h * dh)
+
+    if has_km:
+        km_op = key_mask.astype(jnp.int32)[:, None, :]
+
+        @jax.custom_vjp
+        def attn_op(qkv_, km_):
+            return call(qkv_, qkv_, qkv_, km_)
+
+        def attn_fwd(qkv_, km_):
+            return attn_op(qkv_, km_), (qkv_, km_)
+
+        def attn_bwd(res, g_):
+            qkv_, km_ = res
+            _, vjp = jax.vjp(lambda a: ref(a, km_[:, 0, :]), qkv_)
+            import numpy as np
+
+            return (*vjp(g_), np.zeros(km_.shape, jax.dtypes.float0))
+
+        attn_op.defvjp(attn_fwd, attn_bwd)
+        return attn_op(qkv, km_op)
+
+    @jax.custom_vjp
+    def attn_op(qkv_):
+        return call(qkv_, qkv_, qkv_)
+
+    def attn_fwd(qkv_):
+        return attn_op(qkv_), (qkv_,)
+
+    def attn_bwd(res, g_):
+        (qkv_,) = res
+        _, vjp = jax.vjp(lambda a: ref(a, None), qkv_)
+        return vjp(g_)
+
+    attn_op.defvjp(attn_fwd, attn_bwd)
+    return attn_op(qkv)

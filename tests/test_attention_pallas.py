@@ -228,6 +228,35 @@ def test_fused_attention_packed_layout(b, h, tq, tk, dh, causal, masked):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5, rtol=2e-5)
 
 
+@pytest.mark.parametrize("causal,masked", [(True, False), (True, True), (False, True)])
+def test_fused_attention_packed_multi_q_block(causal, masked):
+    """Packed layout with block_q < Tq (the production Gemma @1030 shape
+    resolves to ~2 q-blocks with causal row offsets via program_id) — the
+    combination of head-group lane slicing and multi-block causal masking."""
+    b, h, tq, tk, dh = 1, 2, 200, 200, 64
+    ks = jax.random.split(jax.random.key(17), 4)
+    q = _rand(ks[0], (b, h, tq, dh))
+    k = _rand(ks[1], (b, h, tk, dh))
+    v = _rand(ks[2], (b, h, tk, dh))
+    key_mask = None
+    if masked:
+        key_mask = jax.random.bernoulli(ks[3], 0.8, (b, tk)).at[:, 0].set(True)
+
+    want = _sdpa_ref(q, k, v, key_mask=key_mask, causal=causal)
+
+    def pack(x):
+        bb, hh, tt, dd = x.shape
+        return jnp.swapaxes(x, 1, 2).reshape(bb, tt, hh * dd)
+
+    got = fused_attention(
+        pack(q), pack(k), pack(v),
+        key_mask=key_mask, causal=causal, block_q=64, interpret=True,
+        layout="packed", num_heads=h,
+    )
+    got = jnp.swapaxes(got.reshape(b, tq, h, dh), 1, 2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5, rtol=2e-5)
+
+
 def test_mha_packed_path_matches_xla(pallas_impl):
     """d=128/heads=2 (dh=64) qualifies for the packed kernel path inside
     mha; result must match the XLA SDPA."""
