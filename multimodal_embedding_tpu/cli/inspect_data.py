@@ -1,17 +1,22 @@
 """Dataset forensics (reference A27: inspect_coco.py, inspect_caption_counts.py,
-test_flickr_splits.py).
+test_flickr_splits.py, find_karpathy_split.py, download_karpathy_split.py).
 
 Subcommands:
 - schema:    probe a dataset's columns/keys and a sample record
 - captions:  caption-count histogram (motivates the >=5-caption prefilter)
 - splits:    validate Flickr30k candidates against the Karpathy split sizes
              (train~29k / val~1k / test~1k, test_flickr_splits.py:60-82)
+- karpathy:  locate + parse the official ``dataset_flickr30k.json`` /
+             ``dataset_coco.json`` Karpathy split file into per-split ID
+             lists (download_karpathy_split.py:98-133)
 """
 
 from __future__ import annotations
 
 import argparse
+import json
 from collections import Counter
+from pathlib import Path
 
 from ..data.captions import get_all_captions
 
@@ -31,6 +36,16 @@ def parse_args(argv=None):
 
     f = sub.add_parser("splits")
     f.add_argument("--candidates", default="nlphuji/flickr30k,lmms-lab/flickr30k")
+
+    k = sub.add_parser("karpathy")
+    k.add_argument("--json", default=None,
+                   help="Path to dataset_flickr30k.json / dataset_coco.json; "
+                        "when omitted, searches --search-dirs")
+    k.add_argument("--search-dirs", default=".,./coco_images,~/.cache",
+                   help="Comma-separated directories to scan for the split json")
+    k.add_argument("--out-dir", default=".",
+                   help="Where to write flickr30k_{train,val,test}_ids.txt")
+    k.add_argument("--prefix", default="flickr30k")
     return p.parse_args(argv)
 
 
@@ -89,9 +104,77 @@ def cmd_splits(args) -> int:
     return 0 if ok_any else 1
 
 
+def find_karpathy_json(search_dirs: list[str]) -> Path | None:
+    """Locate an official Karpathy split json (reference
+    find_karpathy_split.py's manual-approach step 3, automated)."""
+    names = ("dataset_flickr30k.json", "dataset_coco.json", "dataset_flickr8k.json")
+    for d in search_dirs:
+        root = Path(d).expanduser()
+        if not root.is_dir():
+            continue
+        for name in names:
+            hit = next(iter(root.rglob(name)), None)
+            if hit is not None:
+                return hit
+    return None
+
+
+def parse_karpathy_split(json_path: Path, out_dir: Path, prefix: str) -> dict[str, int]:
+    """Parse {images: [{split, imgid/cocoid/filename, ...}]} into per-split ID
+    files (reference download_karpathy_split.py:98-133; 'restval' merges into
+    'train' as is standard for retrieval benchmarks)."""
+    with open(json_path) as f:
+        data = json.load(f)
+
+    splits: dict[str, list[str]] = {"train": [], "val": [], "test": []}
+    for img in data["images"]:
+        split = img["split"]
+        if split == "restval":
+            split = "train"
+        img_id = img.get("imgid")
+        if img_id is None:
+            img_id = img.get("cocoid")
+        if img_id is None:
+            img_id = img["filename"].split(".")[0]
+        splits[split].append(str(img_id))
+
+    out_dir.mkdir(parents=True, exist_ok=True)
+    counts = {}
+    for split_name, ids in splits.items():
+        out = out_dir / f"{prefix}_{split_name}_ids.txt"
+        out.write_text("\n".join(ids))
+        counts[split_name] = len(ids)
+        print(f"✓ Wrote {len(ids):,} IDs to {out}")
+    return counts
+
+
+def cmd_karpathy(args) -> int:
+    if args.json:
+        path = Path(args.json)
+        if not path.exists():
+            print(f"❌ {path} not found")
+            return 1
+    else:
+        path = find_karpathy_json(args.search_dirs.split(","))
+        if path is None:
+            print("❌ no dataset_{flickr30k,coco,flickr8k}.json found under "
+                  f"{args.search_dirs}; download it from Karpathy's deepimagesent "
+                  "page and pass --json")
+            return 1
+        print(f"Found split file: {path}")
+    counts = parse_karpathy_split(path, Path(args.out_dir), args.prefix)
+    print("Summary: " + ", ".join(f"{k}={v:,}" for k, v in counts.items()))
+    return 0
+
+
 def main(argv=None) -> int:
     args = parse_args(argv)
-    return {"schema": cmd_schema, "captions": cmd_captions, "splits": cmd_splits}[args.cmd](args)
+    return {
+        "schema": cmd_schema,
+        "captions": cmd_captions,
+        "splits": cmd_splits,
+        "karpathy": cmd_karpathy,
+    }[args.cmd](args)
 
 
 if __name__ == "__main__":

@@ -155,7 +155,10 @@ def run_bootstrap_benchmark(
     if score_cache_dir:
         from ..stats.score_cache import load_scores
 
-        cached_scores = load_scores(score_cache_dir, model.info.name, records)
+        cached_scores = load_scores(
+            score_cache_dir, model.info.name, records,
+            preprocess_impl=preprocess_impl, maxsim_impl=maxsim_impl,
+        )
 
     t_start = time.perf_counter()
     if cached_scores is not None:
@@ -183,7 +186,10 @@ def run_bootstrap_benchmark(
         if score_cache_dir:
             from ..stats.score_cache import save_scores
 
-            save_scores(score_cache_dir, model.info.name, records, s_t2i, s_i2t, encoding_time)
+            save_scores(
+                score_cache_dir, model.info.name, records, s_t2i, s_i2t, encoding_time,
+                preprocess_impl=preprocess_impl, maxsim_impl=maxsim_impl,
+            )
     logger.info(f"Encoding+scoring completed in {encoding_time:.1f}s")
     report_memory()
 
@@ -194,7 +200,10 @@ def run_bootstrap_benchmark(
     )
     total_time = time.perf_counter() - t_start
 
-    aggregated: dict = {"Model": model.info.name}
+    # Weight provenance stamped into every emitted CSV: random-weight runs
+    # (offline perf evidence) must never be mistaken for accuracy parity —
+    # their R@K columns are meaningless against the reference CI targets.
+    aggregated: dict = {"Model": model.info.name, "Weights": model.weights_provenance}
     for key, values in out.metrics.items():
         mean, lower, upper = bootstrap_confidence_interval(values)
         aggregated[f"{key}_mean"] = mean

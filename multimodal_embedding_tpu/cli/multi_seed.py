@@ -153,7 +153,9 @@ def main(argv=None) -> int:
                             f"({lo}, {hi}) for Run {run_idx + 1}"
                         )
 
-            row: dict = {"Model": info.name}
+            # weight provenance stamped into the CSV: random-weight rows must
+            # never read as accuracy evidence
+            row: dict = {"Model": info.name, "Weights": model.weights_provenance}
             for k, v in wino.items():
                 row[k] = f"{v:.1f}"
             for k in runs[0]:

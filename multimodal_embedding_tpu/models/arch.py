@@ -137,7 +137,7 @@ def load_arch_model(name: str, seed: int = 0, dtype=None):
         return LoadedModel(
             info=info, cfg=cfg, params=params, preprocess=info.preprocess,
             tokenize=hash_tokenizer(cfg.gemma.vocab_size, 32, 1),
-            multi_vector=True,
+            multi_vector=True, weights_provenance="arch-random",
         )
     if info.type == "jina":
         from .jina import eva02_init, jina_bert_init
@@ -151,10 +151,12 @@ def load_arch_model(name: str, seed: int = 0, dtype=None):
         return LoadedModel(
             info=info, cfg=cfg, params=params, preprocess=info.preprocess,
             tokenize=hash_tokenizer(cfg.text.vocab_size, info.text_max_len, 3),
+            weights_provenance="arch-random",
         )
     cfg = full_arch_config(name)
     params = dual_encoder_init(key, cfg, dtype)
     return LoadedModel(
         info=info, cfg=cfg, params=params, preprocess=info.preprocess,
         tokenize=hash_tokenizer(cfg.text.vocab_size, cfg.text.max_len, 49407),
+        weights_provenance="arch-random",
     )

@@ -262,4 +262,5 @@ def load_debug_colpali(info: ModelInfo, seed: int = 0, dtype=jnp.float32):
         preprocess=pre,
         tokenize=base_tok,
         multi_vector=True,
+        weights_provenance="debug-random",
     )

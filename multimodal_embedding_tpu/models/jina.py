@@ -600,5 +600,6 @@ def load_debug_jina(info, seed: int = 0, dtype=jnp.float32):
             mean=SIGLIP_MEAN, std=SIGLIP_STD,
         ),
         tokenize=hash_tokenizer(cfg.text.vocab_size, 32, cfg.text.vocab_size - 1),
+        weights_provenance="debug-random",
     )
     return model

@@ -50,6 +50,10 @@ class LoadedModel:
     preprocess: PreprocessConfig
     tokenize: Callable[[list[str]], tuple[np.ndarray, np.ndarray]]
     multi_vector: bool = False
+    # Provenance of the weights, stamped into every result CSV ("real" =
+    # converted HF checkpoint; "arch-random"/"debug-random" = random init —
+    # throughput-valid but accuracy-meaningless).
+    weights_provenance: str = "real"
 
     def image_features(self, pixels: jax.Array) -> jax.Array:
         return encode_image(self.params, self.cfg, pixels)
@@ -241,4 +245,5 @@ def load_debug_model(info: ModelInfo, seed: int = 0, dtype=jnp.float32) -> Loade
         params=params,
         preprocess=pre,
         tokenize=hash_tokenizer(cfg.text.vocab_size, cfg.text.max_len, cfg.text.eos_token_id),
+        weights_provenance="debug-random",
     )

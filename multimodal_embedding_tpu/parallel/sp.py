@@ -51,7 +51,7 @@ def sp_attention(
     kvh = k.shape[1]
     assert h % kvh == 0, (h, kvh)
     n = int(mesh.shape[axis])
-    assert t % n == 0, f"sequence {t} must divide the {axis} axis ({n})"
+    assert t % n == 0, f"{axis} axis size {n} must divide sequence {t}"
     scale = 1.0 / math.sqrt(dh) if sm_scale is None else sm_scale
     shard_t = t // n
 

@@ -31,13 +31,35 @@ def dataset_fingerprint(records: list[dict]) -> str:
     return h.hexdigest()[:16]
 
 
-def cache_path(cache_dir: str, model_name: str, fingerprint: str) -> Path:
-    return Path(cache_dir) / f"scores_{model_name}_{fingerprint}.npz"
+def numerics_fingerprint(preprocess_impl: str = "xla", maxsim_impl: str = "auto") -> str:
+    """Numerics-affecting state folded into the cache key, so a rerun with a
+    different ``--attention-impl`` / ``--preprocess-impl`` / ``--maxsim-impl``
+    / layer fusion (or on a different backend, where 'auto' resolves
+    differently) misses the cache instead of silently reusing score matrices
+    computed under different numerics."""
+    import jax
+
+    from ..models.layers import get_attention_impl, get_layer_impl
+
+    if maxsim_impl == "auto":  # resolve like ops/maxsim.py:maxsim_scores
+        maxsim_impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    return (
+        f"{jax.default_backend()}-{get_attention_impl()}"
+        f"-{get_layer_impl()}-{preprocess_impl}-{maxsim_impl}"
+    )
 
 
-def load_scores(cache_dir: str, model_name: str, records: list[dict]):
+def cache_path(cache_dir: str, model_name: str, fingerprint: str, numerics: str) -> Path:
+    return Path(cache_dir) / f"scores_{model_name}_{fingerprint}_{numerics}.npz"
+
+
+def load_scores(
+    cache_dir: str, model_name: str, records: list[dict],
+    preprocess_impl: str = "xla", maxsim_impl: str = "auto",
+):
     """Returns (s_t2i, s_i2t, encoding_time) or None."""
-    p = cache_path(cache_dir, model_name, dataset_fingerprint(records))
+    numerics = numerics_fingerprint(preprocess_impl, maxsim_impl)
+    p = cache_path(cache_dir, model_name, dataset_fingerprint(records), numerics)
     if not p.exists():
         return None
     try:
@@ -50,10 +72,12 @@ def load_scores(cache_dir: str, model_name: str, records: list[dict]):
 
 
 def save_scores(
-    cache_dir: str, model_name: str, records: list[dict], s_t2i, s_i2t, encoding_time: float
+    cache_dir: str, model_name: str, records: list[dict], s_t2i, s_i2t, encoding_time: float,
+    preprocess_impl: str = "xla", maxsim_impl: str = "auto",
 ) -> None:
     Path(cache_dir).mkdir(parents=True, exist_ok=True)
-    p = cache_path(cache_dir, model_name, dataset_fingerprint(records))
+    numerics = numerics_fingerprint(preprocess_impl, maxsim_impl)
+    p = cache_path(cache_dir, model_name, dataset_fingerprint(records), numerics)
     np.savez(
         p,
         s_t2i=np.asarray(s_t2i, np.float32),

@@ -263,3 +263,51 @@ def test_load_winoground_gated_skip(monkeypatch, caplog):
         records = load_winoground()
     assert records == []
     assert any("HF_TOKEN" in r.message for r in caplog.records)
+
+
+def test_karpathy_split_parser(tmp_path):
+    """The karpathy subcommand parses the official dataset_*.json format
+    (reference download_karpathy_split.py:98-133): restval merges into train,
+    imgid/cocoid/filename fallbacks, per-split ID files."""
+    import json
+
+    from multimodal_embedding_tpu.cli.inspect_data import (
+        find_karpathy_json,
+        main as inspect_main,
+        parse_karpathy_split,
+    )
+
+    data = {
+        "images": [
+            {"split": "train", "imgid": 1, "filename": "a.jpg"},
+            {"split": "restval", "imgid": 2, "filename": "b.jpg"},  # -> train
+            {"split": "val", "cocoid": 30, "filename": "c.jpg"},  # no imgid
+            {"split": "test", "filename": "4567.jpg"},  # filename fallback
+            {"split": "test", "imgid": 5, "filename": "e.jpg"},
+        ]
+    }
+    src = tmp_path / "cache" / "dataset_flickr30k.json"
+    src.parent.mkdir()
+    src.write_text(json.dumps(data))
+
+    # locate step (find_karpathy_split.py's manual approach, automated)
+    assert find_karpathy_json([str(tmp_path)]) == src
+    assert find_karpathy_json([str(tmp_path / "nope")]) is None
+
+    out = tmp_path / "ids"
+    counts = parse_karpathy_split(src, out, "flickr30k")
+    assert counts == {"train": 2, "val": 1, "test": 2}
+    assert (out / "flickr30k_train_ids.txt").read_text() == "1\n2"
+    assert (out / "flickr30k_val_ids.txt").read_text() == "30"
+    assert (out / "flickr30k_test_ids.txt").read_text() == "4567\n5"
+
+    # CLI surface
+    rc = inspect_main(
+        ["karpathy", "--json", str(src), "--out-dir", str(tmp_path / "ids2")]
+    )
+    assert rc == 0
+    assert (tmp_path / "ids2" / "flickr30k_test_ids.txt").exists()
+    assert inspect_main(["karpathy", "--json", str(tmp_path / "missing.json")]) == 1
+    assert inspect_main(
+        ["karpathy", "--search-dirs", str(tmp_path / "nope"), "--out-dir", str(tmp_path)]
+    ) == 1
