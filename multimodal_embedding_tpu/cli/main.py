@@ -85,6 +85,10 @@ def parse_args(argv=None):
                         "numerics), Pallas fused, or Pallas flash")
     p.add_argument("--preprocess-impl", type=str, default="xla", choices=["xla", "pallas"],
                    help="Device preprocessing: XLA matmuls or the fused Pallas kernel")
+    p.add_argument("--layer-impl", type=str, default="auto", choices=["auto", "xla", "fused"],
+                   help="Encoder layer: plain XLA ops (auto: XLA fuses "
+                        "residual+LN into the matmuls at roofline — measured) "
+                        "or the fused residual+LN+matmul prologue kernel")
     p.add_argument("--native-cache-dir", type=str, default=None,
                    help="Persist HF->JAX converted weights as native .npz; later "
                         "runs load torch-free")
@@ -229,22 +233,23 @@ def main(argv=None) -> int:
     logger.info(f"BENCHMARK START (V29 STATISTICAL, TPU) - Output: {args.output}")
     logger.info(f"Bootstrap iterations: {args.bootstrap_iterations}")
 
-    from ..models.layers import set_attention_impl
+    from ..models.layers import set_attention_impl, set_layer_impl, set_tp_mesh
 
-    if args.tensor_parallel > 1 and args.attention_impl in ("auto", "pallas", "flash"):
-        # GSPMD cannot auto-partition a pallas_call over the model axis; the
-        # einsum SDPA partitions cleanly under the Megatron param shardings
-        if args.attention_impl != "auto":
-            logger.warning(
-                f"--attention-impl {args.attention_impl} cannot shard over the "
-                f"model axis; using xla_bf16 under --tensor-parallel"
-            )
-        set_attention_impl("xla_bf16")
-    else:
-        set_attention_impl(args.attention_impl)
-
+    set_attention_impl(args.attention_impl)
+    set_layer_impl(args.layer_impl)
     mesh = get_mesh(n_model=args.tensor_parallel)
     logger.info(f"Device mesh: {dict(mesh.shape)} over {mesh.devices.size} devices")
+    if args.tensor_parallel > 1:
+        # the fused attention kernel composes with TP via an explicit
+        # shard_map over the column-split heads (layers._tp_packed_attention);
+        # the residual+LN+matmul prologue kernel does not yet shard, so the
+        # layer impl takes the XLA path under TP
+        set_tp_mesh(mesh)
+        set_layer_impl("xla")
+        logger.info(
+            "--tensor-parallel: attention kernel runs per-chip head shards "
+            "via shard_map; layer prologue fusion -> xla"
+        )
 
     records = load_benchmark_dataset(
         args.dataset,

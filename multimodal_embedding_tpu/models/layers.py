@@ -133,13 +133,41 @@ def attention_interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+# Tensor-parallel mesh (set by the CLI when --tensor-parallel > 1). GSPMD
+# cannot auto-partition a pallas_call over the model axis, so when this is
+# set, attention_core wraps the fused kernel in an explicit shard_map over
+# the column-split heads — each chip runs a self-contained kernel on its
+# head shard (Megatron TP composes with the kernel instead of excluding it).
+_TP_MESH = None
+
+
+def set_tp_mesh(mesh) -> None:
+    """Register the (data, model) mesh for tensor-parallel runs (None to
+    clear). Only meshes with a model axis > 1 change behavior."""
+    global _TP_MESH
+    _TP_MESH = mesh
+
+
+def get_tp_mesh():
+    from ..parallel.mesh import MODEL_AXIS
+
+    if _TP_MESH is not None and int(_TP_MESH.shape[MODEL_AXIS]) > 1:
+        return _TP_MESH
+    return None
+
+
 # Encoder-layer implementation:
-#  - "xla":   encoder_layer as separate XLA ops (max-parity reference path)
+#  - "xla":   encoder_layer as separate XLA ops
 #  - "fused": the residual+LN+matmul prologue Pallas kernel
-#    (ops/fused_ln_matmul.py) feeds the attention kernel and the MLP — kills
-#    the LN/elementwise HBM round-trips XLA runs ~2x off the roofline
-#    (measured ~25% of the ViT-L forward, PERF.md round 2)
-#  - "auto":  "fused" on TPU, "xla" elsewhere
+#    (ops/fused_ln_matmul.py) feeding the stacked-QKV attention kernel
+#  - "auto":  "xla" everywhere — a MEASURED NEGATIVE (round 3, PERF.md):
+#    with the packed attention kernel already eliminating the relayout
+#    copies, current XLA fuses residual+LN into the neighboring matmuls at
+#    roofline (the LN1+QKV fusion profiles at ~178 TFLOP/s, ~= the bare
+#    matmul), so the prologue kernel can only match the matmul while
+#    breaking the o-proj/fc2 epilogue fusions (~0.6-1.2 ms/layer): ViT-L
+#    287.6 img/s fused vs 348.1 xla. The kernel stays as a tested,
+#    differentiable opt-in.
 _LAYER_IMPL = "auto"
 
 LAYER_IMPLS = ("auto", "xla", "fused")
@@ -154,7 +182,7 @@ def set_layer_impl(impl: str) -> None:
 def get_layer_impl() -> str:
     """Resolved implementation name (never "auto")."""
     if _LAYER_IMPL == "auto":
-        return "fused" if jax.default_backend() == "tpu" else "xla"
+        return "xla"
     return _LAYER_IMPL
 
 
@@ -215,6 +243,23 @@ def attention_core(
     x = qf
 
     impl = attention_impl_for(dh, tk)
+
+    tp = get_tp_mesh()
+    if tp is not None and impl in ("pallas", "flash"):
+        from ..parallel.mesh import MODEL_AXIS
+
+        n = int(tp.shape[MODEL_AXIS])
+        if (
+            impl == "pallas"
+            and self_attn
+            and n_heads % n == 0
+            and packed_kernel_ok(dh, n_heads // n)
+        ):
+            return _tp_packed_attention(qf, kf, vf, mask, n_heads, causal=causal, tp_mesh=tp)
+        # shapes the per-chip kernel cannot take (or flash): the bf16-logit
+        # einsum SDPA partitions cleanly under the Megatron shardings
+        impl = "xla_bf16"
+
     if impl == "pallas" and packed_kernel_ok(dh, n_heads):
         # packed layout: the kernel consumes the raw [B, T, H*Dh] projection
         # output — no transpose copies, no HBM lane padding of small head dims
@@ -263,6 +308,59 @@ def attention_core(
     attn = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
     out = jnp.einsum("bhqk,bkhd->bqhd", attn, v, preferred_element_type=jnp.float32)
     return out.astype(x.dtype).reshape(b, tq, d)
+
+
+def _tp_packed_attention(
+    qf: jax.Array,
+    kf: jax.Array,
+    vf: jax.Array,
+    mask: jax.Array | None,
+    n_heads: int,
+    *,
+    causal: bool,
+    tp_mesh,
+) -> jax.Array:
+    """Fused packed-layout attention under tensor parallelism.
+
+    qf/kf/vf [B, T, D] with D column-split over the model axis (Megatron
+    q/k/v projections, parallel/tp.py) and B sharded over the data axis.
+    Heads are head-aligned with the column split, so each chip's shard is a
+    self-contained packed attention over ``n_heads / tp`` heads — shard_map
+    invokes one kernel per chip with zero collectives; the row-split output
+    projection's psum happens downstream in GSPMD-land as usual.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    from ..ops.attention_pallas import fused_attention
+    from ..parallel.mesh import DATA_AXIS, MODEL_AXIS
+
+    n = int(tp_mesh.shape[MODEL_AXIS])
+    local_heads = n_heads // n
+    interp = attention_interpret()
+
+    def local(q_, k_, v_, *m_):
+        return fused_attention(
+            q_, k_, v_,
+            key_mask=m_[0] if m_ else None,
+            causal=causal,
+            interpret=interp,
+            layout="packed",
+            num_heads=local_heads,
+        )
+
+    spec = P(DATA_AXIS, None, MODEL_AXIS)
+    mask_specs = (P(DATA_AXIS, None),) if mask is not None else ()
+    fn = jax.shard_map(
+        local,
+        mesh=tp_mesh,
+        in_specs=(spec, spec, spec) + mask_specs,
+        out_specs=spec,
+        # the pallas_call's out ShapeDtypeStruct carries no varying-mesh-axes
+        # metadata; the body is elementwise-local per shard (no collectives)
+        check_vma=False,
+    )
+    args = (qf, kf, vf) + ((mask,) if mask is not None else ())
+    return fn(*args).astype(qf.dtype)
 
 
 def mha(

@@ -19,11 +19,11 @@ This kernel computes, in one pass over the activations:
 
 returning both ``x_new`` (the residual stream the next sublayer needs) and
 ``y`` (the projection output: the packed QKV block, or the MLP hidden). The
-normalized intermediate ``h`` never touches HBM: it is computed into a VMEM
-scratch once per row-block (at the first N-block) and re-used by every
-N-block of the weight. Versus the XLA schedule this removes the LN
-write + per-matmul reads of ``h`` and the separate residual-add round trip —
-pure HBM traffic at these shapes.
+normalized intermediate ``h`` never touches HBM: each grid cell recomputes
+it on the VPU from the resident sequence-row block (constant index across
+weight-column blocks — no extra DMA) and feeds the MXU directly. Versus the
+XLA schedule this removes the LN write + per-matmul reads of ``h`` and the
+separate residual-add round trip — pure HBM traffic at these shapes.
 
 Numerics match the XLA path exactly: the add and normalization statistics
 run in float32, ``h`` is cast back to the params dtype before the MXU matmul
@@ -68,9 +68,17 @@ def _norm_f32(xf, gamma_f, beta_f, *, norm: str, eps: float):
 
 def _kernel(*refs, norm: str, eps: float, act: str | None,
             has_delta: bool, has_beta: bool, has_bias: bool, out_dtype):
-    """Grid (nm, nn), nn fastest. Per cell: at nn==0 compute the normalized
-    row-block into scratch (and write x_new); every nn does one MXU matmul
-    of the resident scratch against this weight column-block."""
+    """Grid (B, nt, nn), nn fastest, all dims freely pipelinable.
+
+    Each cell recomputes the normalized row-block from the resident x/delta
+    blocks (their index maps are constant across nn, so there is no extra
+    DMA — the recompute is a few microseconds of VPU work versus the MXU
+    matmul) and multiplies it against this weight column-block. No scratch
+    and no cross-cell dependency: an earlier scratch-at-nn==0 design
+    serialized the Mosaic pipeline and ran 3.5x off the matmul roofline.
+    x_new is rewritten (identically) by every nn cell into its resident
+    output block; the copy-out happens once per row-block.
+    """
     i = 0
     x_ref = refs[i]; i += 1
     delta_ref = refs[i] if has_delta else None
@@ -82,24 +90,20 @@ def _kernel(*refs, norm: str, eps: float, act: str | None,
     b_ref = refs[i] if has_bias else None
     i += has_bias
     xnew_ref, y_ref = refs[i], refs[i + 1]
-    h_scratch = refs[i + 2]
 
-    @pl.when(pl.program_id(1) == 0)
-    def _prologue():
-        xf = x_ref[...].astype(jnp.float32)
-        if has_delta:
-            xf = xf + delta_ref[...].astype(jnp.float32)
-        # round the residual sum through the storage dtype BEFORE the norm:
-        # the XLA layer adds in bf16 and norms the stored value — bit parity
-        xn = xf.astype(xnew_ref.dtype)
-        xnew_ref[...] = xn
-        xf = xn.astype(jnp.float32)
-        beta_f = beta_ref[...].astype(jnp.float32) if has_beta else 0.0
-        h = _norm_f32(xf, gamma_ref[...].astype(jnp.float32), beta_f, norm=norm, eps=eps)
-        h_scratch[...] = h.astype(h_scratch.dtype)
+    xf = x_ref[0].astype(jnp.float32)  # [bt, d] view of the (1, bt, d) block
+    if has_delta:
+        xf = xf + delta_ref[0].astype(jnp.float32)
+    # round the residual sum through the storage dtype BEFORE the norm:
+    # the XLA layer adds in bf16 and norms the stored value — bit parity
+    xn = xf.astype(xnew_ref.dtype)
+    xnew_ref[0] = xn
+    xf = xn.astype(jnp.float32)
+    beta_f = beta_ref[...].astype(jnp.float32) if has_beta else 0.0
+    h = _norm_f32(xf, gamma_ref[...].astype(jnp.float32), beta_f, norm=norm, eps=eps)
 
     y = jax.lax.dot_general(
-        h_scratch[...], w_ref[...],
+        h.astype(out_dtype), w_ref[...],
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
@@ -110,7 +114,7 @@ def _kernel(*refs, norm: str, eps: float, act: str | None,
         # the linear output to the params dtype before the f32 activation,
         # and bit-parity with the XLA path matters more than one VPU cast
         y = _ACTS[act](y.astype(out_dtype).astype(jnp.float32))
-    y_ref[...] = y.astype(out_dtype)
+    y_ref[0] = y.astype(out_dtype)
 
 
 def _reference(x, delta, gamma, beta, w, b, *, norm, eps, act):
@@ -132,10 +136,28 @@ def _reference(x, delta, gamma, beta, w, b, *, norm, eps, act):
     return x_new, y.astype(x.dtype)
 
 
-# Default row-block: 512 rows x D=1024 keeps x/delta/scratch/w blocks +
-# double buffering comfortably under the 16 MB VMEM (v5e).
-_DEFAULT_BLOCK_M = 512
-_DEFAULT_BLOCK_N = 1024
+def _pick_blocks(
+    t: int, d: int, n: int, has_delta: bool, itemsize: int
+) -> tuple[int, int]:
+    """(bt, bn): sequence-rows and weight-columns per grid cell.
+
+    Prefers the largest bt (fewest weight re-streams: W traffic is
+    B * ceil(T/bt) * N * D bytes) with the largest bn that keeps the
+    double-buffered working set under a ~12 MB VMEM budget (16 MB/core less
+    headroom — larger configs fail the Mosaic compile)."""
+    budget = 12 * 2**20
+    for nb_t in range(1, 64):
+        bt = min(_ceil_to(-(-t // nb_t), 8), _ceil_to(t, 8))
+        for bn in (1024, 768, 512, 384, 256, 128):
+            bn_e = min(bn, n)
+            need = 2 * itemsize * ((3 + has_delta) * bt * d + d * bn_e + bt * bn_e)
+            if need <= budget:
+                return bt, bn_e
+    return 8, min(128, n)
+
+
+def _ceil_to(x: int, m: int) -> int:
+    return -(-x // m) * m
 
 
 @functools.partial(
@@ -159,10 +181,15 @@ def fused_res_norm_matmul(
 ) -> tuple[jax.Array, jax.Array]:
     """(x_new, act(norm(x + delta) @ w + b)).
 
-    x, delta: [..., D] (leading dims flattened internally); gamma/beta: [D];
-    w: [D, N]; b: [N]. norm: "ln" (LayerNorm) or "rms_gemma" (RMSNorm with
-    (1+w) gain, no beta/bias). Returns (x_new [..., D], y [..., N]) in x's
-    dtype.
+    x, delta: [B, T, D] or [T, D]; gamma/beta: [D]; w: [D, N]; b: [N].
+    norm: "ln" (LayerNorm) or "rms_gemma" (RMSNorm with (1+w) gain, no
+    beta/bias). Returns (x_new [..., D], y [..., N]) in x's dtype.
+
+    The kernel blocks the SEQUENCE dim natively ([1, bt, D] cells over a
+    (B, ceil(T/bt), ceil(N/bn)) grid) instead of flattening to [B*T, D]:
+    on TPU the flatten is a physical relayout (each [T, D] slice pads T to
+    a sublane multiple), and the reshape copies around the kernel measured
+    ~1.2 ms/layer on the ViT-L forward — more than the kernel itself.
     """
     orig_shape = x.shape
     d = orig_shape[-1]
@@ -175,35 +202,45 @@ def fused_res_norm_matmul(
         # anything else takes the numerics-identical XLA path.
         return _reference(x, delta, gamma, beta, w, b, norm=norm, eps=eps, act=act)
 
-    x2 = x.reshape(-1, d)
-    m = x2.shape[0]
-    delta2 = delta.reshape(-1, d) if delta is not None else None
-
-    bm = block_m or min(_DEFAULT_BLOCK_M, pl.cdiv(m, 8) * 8)
-    bn = block_n or min(_DEFAULT_BLOCK_N, n)
-    grid = (pl.cdiv(m, bm), pl.cdiv(n, bn))
+    squeeze = x.ndim == 2
+    x3 = x[None] if squeeze else x.reshape(-1, *orig_shape[-2:])
+    bsz, t, _ = x3.shape
+    delta3 = None
+    if delta is not None:
+        delta3 = delta[None] if squeeze else delta.reshape(x3.shape)
 
     has_delta = delta is not None
     has_beta = beta is not None
     has_bias = b is not None
 
-    in_specs = [pl.BlockSpec((bm, d), lambda mi, ni: (mi, 0), memory_space=pltpu.VMEM)]
+    auto_bt, auto_bn = _pick_blocks(t, d, n, has_delta, x.dtype.itemsize)
+    bt = block_m or auto_bt
+    bn = block_n or auto_bn
+    grid = (bsz, pl.cdiv(t, bt), pl.cdiv(n, bn))
+
+    row_spec = pl.BlockSpec((1, bt, d), lambda bi, ti, ni: (bi, ti, 0), memory_space=pltpu.VMEM)
+    vec_spec = pl.BlockSpec((1, d), lambda bi, ti, ni: (0, 0), memory_space=pltpu.VMEM)
+    in_specs = [row_spec]
     if has_delta:
-        in_specs.append(pl.BlockSpec((bm, d), lambda mi, ni: (mi, 0), memory_space=pltpu.VMEM))
-    in_specs.append(pl.BlockSpec((1, d), lambda mi, ni: (0, 0), memory_space=pltpu.VMEM))
+        in_specs.append(row_spec)
+    in_specs.append(vec_spec)
     if has_beta:
-        in_specs.append(pl.BlockSpec((1, d), lambda mi, ni: (0, 0), memory_space=pltpu.VMEM))
-    in_specs.append(pl.BlockSpec((d, bn), lambda mi, ni: (0, ni), memory_space=pltpu.VMEM))
+        in_specs.append(vec_spec)
+    in_specs.append(
+        pl.BlockSpec((d, bn), lambda bi, ti, ni: (0, ni), memory_space=pltpu.VMEM)
+    )
     if has_bias:
-        in_specs.append(pl.BlockSpec((1, bn), lambda mi, ni: (0, ni), memory_space=pltpu.VMEM))
+        in_specs.append(
+            pl.BlockSpec((1, bn), lambda bi, ti, ni: (0, ni), memory_space=pltpu.VMEM)
+        )
 
     out_shape = (
-        jax.ShapeDtypeStruct((m, d), x.dtype),
-        jax.ShapeDtypeStruct((m, n), x.dtype),
+        jax.ShapeDtypeStruct((bsz, t, d), x.dtype),
+        jax.ShapeDtypeStruct((bsz, t, n), x.dtype),
     )
     out_specs = (
-        pl.BlockSpec((bm, d), lambda mi, ni: (mi, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((bm, bn), lambda mi, ni: (mi, ni), memory_space=pltpu.VMEM),
+        row_spec,
+        pl.BlockSpec((1, bt, bn), lambda bi, ti, ni: (bi, ti, ni), memory_space=pltpu.VMEM),
     )
 
     kernel = functools.partial(
@@ -218,18 +255,14 @@ def fused_res_norm_matmul(
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
-        scratch_shapes=[pltpu.VMEM((bm, d), x.dtype)],
         compiler_params=pltpu.CompilerParams(
-            # nn must run sequentially after nn==0 fills the scratch; nm
-            # re-initializes the scratch at its own nn==0, so each row-block
-            # is self-contained.
-            dimension_semantics=("arbitrary", "arbitrary"),
+            dimension_semantics=("parallel", "parallel", "parallel"),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=2 * m * d * n,
+            flops=2 * bsz * t * d * n,
             bytes_accessed=x.dtype.itemsize
-            * (m * d * (3 + has_delta) + m * n + grid[0] * d * n),
-            transcendentals=m * n if act is not None else 0,
+            * (bsz * t * d * (3 + has_delta) + bsz * t * n + grid[0] * grid[1] * d * n),
+            transcendentals=bsz * t * n if act is not None else 0,
         ),
         interpret=interpret,
     )
@@ -252,7 +285,7 @@ def fused_res_norm_matmul(
             return vjp(g)
 
         op.defvjp(fwd, bwd)
-        xn, y = op(x2, delta2, gamma, beta, w, b)
+        xn, y = op(x3, delta3, gamma, beta, w, b)
     elif has_beta and has_bias:  # no delta (first sublayer variants)
         @jax.custom_vjp
         def op(x_, gamma_, beta_, w_, b_):
@@ -267,7 +300,7 @@ def fused_res_norm_matmul(
             return vjp(g)
 
         op.defvjp(fwd, bwd)
-        xn, y = op(x2, gamma, beta, w, b)
+        xn, y = op(x3, gamma, beta, w, b)
     elif has_delta:  # rms_gemma with residual: no beta, no bias
         @jax.custom_vjp
         def op(x_, delta_, gamma_, w_):
@@ -281,7 +314,7 @@ def fused_res_norm_matmul(
             return vjp(g)
 
         op.defvjp(fwd, bwd)
-        xn, y = op(x2, delta2, gamma, w)
+        xn, y = op(x3, delta3, gamma, w)
     else:  # rms_gemma, no residual
         @jax.custom_vjp
         def op(x_, gamma_, w_):
@@ -295,6 +328,6 @@ def fused_res_norm_matmul(
             return vjp(g)
 
         op.defvjp(fwd, bwd)
-        xn, y = op(x2, gamma, w)
+        xn, y = op(x3, gamma, w)
 
     return xn.reshape(orig_shape), y.reshape(*orig_shape[:-1], n)

@@ -212,12 +212,13 @@ def test_vision_tower_fused_matches_xla(fused_layers):
 
 
 def test_layer_impl_auto_resolution():
+    """auto resolves to xla on every backend (the fused prologue measured
+    SLOWER in-context on TPU — PERF.md round 3); fused is an explicit
+    opt-in."""
     prev = layers._LAYER_IMPL
     try:
         layers.set_layer_impl("auto")
-        assert layers.get_layer_impl() == (
-            "fused" if jax.default_backend() == "tpu" else "xla"
-        )
+        assert layers.get_layer_impl() == "xla"
         layers.set_layer_impl("fused")
         assert layers.get_layer_impl() == "fused"
     finally:

@@ -118,3 +118,104 @@ def test_get_mesh_rejects_oversized_model_axis():
         get_mesh(n_model=2, devices=devices)
     with pytest.raises(ValueError, match="devices"):
         get_mesh(n_data=4, n_model=1, devices=devices[:1] * 1)
+
+
+def test_tp_packed_attention_kernel_matches_unsharded():
+    """The fused packed-layout attention kernel composes with TP: shard_map
+    runs one per-chip kernel on each column-split head shard; the result
+    matches the unsharded kernel and the XLA SDPA."""
+    from multimodal_embedding_tpu.models import layers
+
+    b, t, heads, dh = 4, 9, 8, 64
+    d = heads * dh
+    ks = jax.random.split(jax.random.key(21), 4)
+    qf, kf, vf = (jax.random.normal(k, (b, t, d)) for k in ks[:3])
+    mask = jnp.asarray(np.random.default_rng(0).random((b, t)) < 0.8).at[:, 0].set(True)
+
+    prev_impl, prev_mesh = layers._ATTENTION_IMPL, layers._TP_MESH
+    try:
+        layers.set_attention_impl("pallas")
+        layers.set_tp_mesh(None)
+        want_kernel = np.asarray(layers.attention_core(qf, kf, vf, heads, mask=mask))
+        layers.set_attention_impl("xla")
+        want_xla = np.asarray(layers.attention_core(qf, kf, vf, heads, mask=mask))
+
+        mesh = get_mesh(n_data=2, n_model=4)
+        layers.set_attention_impl("pallas")
+        layers.set_tp_mesh(mesh)
+        col = NamedSharding(mesh, P("data", None, "model"))
+        row = NamedSharding(mesh, P("data", None))
+        with mesh:
+            got = np.asarray(
+                layers.attention_core(
+                    jax.device_put(qf, col), jax.device_put(kf, col),
+                    jax.device_put(vf, col), heads,
+                    mask=jax.device_put(mask, row),
+                )
+            )
+    finally:
+        layers.set_attention_impl(prev_impl)
+        layers.set_tp_mesh(prev_mesh)
+
+    np.testing.assert_allclose(got, want_kernel, atol=2e-5, rtol=2e-5)
+    np.testing.assert_allclose(got, want_xla, atol=2e-5, rtol=2e-5)
+
+
+def test_tp_encoder_with_pallas_impl_matches_replicated():
+    """Full encoder stack under TP with --attention-impl pallas: the kernel
+    no longer falls back — sharded output equals the replicated forward."""
+    from multimodal_embedding_tpu.models import layers
+    from multimodal_embedding_tpu.models.layers import encoder_stack, encoder_stack_init
+
+    dim, heads, mlp, t, bsz = 512, 8, 256, 17, 4
+    stacked = encoder_stack_init(jax.random.key(22), 2, dim, mlp)
+    x = jax.random.normal(jax.random.key(23), (bsz, t, dim))
+
+    prev_impl, prev_mesh = layers._ATTENTION_IMPL, layers._TP_MESH
+    try:
+        layers.set_attention_impl("pallas")
+        layers.set_tp_mesh(None)
+        want = np.asarray(encoder_stack(stacked, x, heads, "gelu"))
+
+        mesh = get_mesh(n_data=2, n_model=4)
+        layers.set_tp_mesh(mesh)
+        sharded = shard_params_tp(stacked, mesh)
+        batch = NamedSharding(mesh, P("data"))
+        with mesh:
+            got = np.asarray(
+                jax.jit(lambda p, h: encoder_stack(p, h, heads, "gelu"))(
+                    sharded, jax.device_put(x, batch)
+                )
+            )
+    finally:
+        layers.set_attention_impl(prev_impl)
+        layers.set_tp_mesh(prev_mesh)
+
+    np.testing.assert_allclose(got, want, atol=5e-5, rtol=5e-5)
+
+
+def test_tp_unfriendly_heads_fall_back_cleanly():
+    """Head counts that do not split over the model axis (or leave a
+    non-group-aligned local shard) must run the partition-friendly
+    xla_bf16 path rather than fail."""
+    from multimodal_embedding_tpu.models import layers
+
+    b, t, heads, dh = 4, 7, 6, 64  # 6 heads % 4 chips != 0
+    d = heads * dh
+    ks = jax.random.split(jax.random.key(24), 3)
+    qf, kf, vf = (jax.random.normal(k, (b, t, d)) for k in ks)
+
+    prev_impl, prev_mesh = layers._ATTENTION_IMPL, layers._TP_MESH
+    try:
+        layers.set_attention_impl("xla")
+        want = np.asarray(layers.attention_core(qf, kf, vf, heads))
+        mesh = get_mesh(n_data=2, n_model=4)
+        layers.set_attention_impl("pallas")
+        layers.set_tp_mesh(mesh)
+        with mesh:
+            got = np.asarray(layers.attention_core(qf, kf, vf, heads))
+    finally:
+        layers.set_attention_impl(prev_impl)
+        layers.set_tp_mesh(prev_mesh)
+    # bf16-logit numerics vs f32: loose tolerance on CPU (bf16 emulation)
+    np.testing.assert_allclose(got, want, atol=2e-2, rtol=2e-2)
