@@ -96,6 +96,12 @@ def parse_args(argv=None):
                    help="Model-axis size of the device mesh: params are "
                         "Megatron column/row-split across this many chips "
                         "(parallel/tp.py); the data axis gets the rest")
+    p.add_argument("--sequence-parallel", type=int, default=1,
+                   help="Model-axis size for sequence/context parallelism: "
+                        "ColPali's 1030-token Gemma prefill shards its token "
+                        "dim across this many chips (K/V all-gather over ICI, "
+                        "parallel/sp.py). Mutually exclusive with "
+                        "--tensor-parallel")
     return p.parse_args(argv)
 
 
@@ -233,12 +239,22 @@ def main(argv=None) -> int:
     logger.info(f"BENCHMARK START (V29 STATISTICAL, TPU) - Output: {args.output}")
     logger.info(f"Bootstrap iterations: {args.bootstrap_iterations}")
 
-    from ..models.layers import set_attention_impl, set_layer_impl, set_tp_mesh
+    from ..models.layers import set_attention_impl, set_layer_impl, set_sp_mesh, set_tp_mesh
 
     set_attention_impl(args.attention_impl)
     set_layer_impl(args.layer_impl)
-    mesh = get_mesh(n_model=args.tensor_parallel)
+    if args.tensor_parallel > 1 and args.sequence_parallel > 1:
+        raise SystemExit("--tensor-parallel and --sequence-parallel both use the "
+                         "model mesh axis; pick one")
+    n_model = max(args.tensor_parallel, args.sequence_parallel)
+    mesh = get_mesh(n_model=n_model)
     logger.info(f"Device mesh: {dict(mesh.shape)} over {mesh.devices.size} devices")
+    if args.sequence_parallel > 1:
+        set_sp_mesh(mesh)
+        logger.info(
+            f"--sequence-parallel {args.sequence_parallel}: Gemma prefill "
+            f"token dim sharded over the model axis (K/V all-gather on ICI)"
+        )
     if args.tensor_parallel > 1:
         # the fused attention kernel composes with TP via an explicit
         # shard_map over the column-split heads (layers._tp_packed_attention);

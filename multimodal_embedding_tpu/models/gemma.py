@@ -83,7 +83,31 @@ def _attn(
     q = _rope(q, positions, cfg.rope_theta)
     k = _rope(k, positions, cfg.rope_theta)
 
-    from .layers import attention_impl_for, attention_interpret
+    from .layers import attention_impl_for, attention_interpret, get_sp_mesh
+
+    sp = get_sp_mesh()
+    if sp is not None:
+        from ..parallel.mesh import MODEL_AXIS
+
+        if t % int(sp.shape[MODEL_AXIS]) == 0:
+            # sequence parallelism (--sequence-parallel): the token dim is
+            # sharded over the model axis — projections/rope above are
+            # token-local, attention all-gathers K/V over ICI inside the
+            # shard_map (parallel/sp.py). Shapes that don't divide the axis
+            # (short text queries) fall through to the single-chip paths.
+            from ..parallel.sp import sp_attention
+
+            out = sp_attention(
+                jnp.swapaxes(q, 1, 2),
+                jnp.swapaxes(k, 1, 2),
+                jnp.swapaxes(v, 1, 2),
+                sp,
+                key_mask=key_mask,
+                causal=causal,
+                sm_scale=1.0 / math.sqrt(cfg.head_dim),
+            )
+            out = jnp.swapaxes(out, 1, 2).astype(x.dtype).reshape(b, t, cfg.heads * cfg.head_dim)
+            return jnp.dot(out, p["o"], preferred_element_type=jnp.float32).astype(x.dtype)
 
     # shape-aware like layers.mha: ColPali's ~20-70-token text queries take
     # the measured-faster XLA path; the 1030-token image prefix takes the

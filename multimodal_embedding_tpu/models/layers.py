@@ -156,6 +156,29 @@ def get_tp_mesh():
     return None
 
 
+# Sequence-parallel mesh (set by the CLI when --sequence-parallel > 1).
+# Shards the TOKEN dim of long-sequence decoder activations over the model
+# axis: layernorms/MLPs/projections are token-local (GSPMD keeps them
+# sharded), and attention all-gathers K/V over ICI inside parallel/sp.py's
+# shard_map. Consumer: ColPali's 1030-token Gemma prefill (gemma._attn).
+_SP_MESH = None
+
+
+def set_sp_mesh(mesh) -> None:
+    """Register the (data, model) mesh for sequence-parallel runs (None to
+    clear). Only meshes with a model axis > 1 change behavior."""
+    global _SP_MESH
+    _SP_MESH = mesh
+
+
+def get_sp_mesh():
+    from ..parallel.mesh import MODEL_AXIS
+
+    if _SP_MESH is not None and int(_SP_MESH.shape[MODEL_AXIS]) > 1:
+        return _SP_MESH
+    return None
+
+
 # Encoder-layer implementation:
 #  - "xla":   encoder_layer as separate XLA ops
 #  - "fused": the residual+LN+matmul prologue Pallas kernel

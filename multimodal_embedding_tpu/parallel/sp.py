@@ -57,10 +57,11 @@ def sp_attention(
 
     def local(qb, kb, vb, km=None):
         idx = jax.lax.axis_index(axis)
-        kf = jax.lax.all_gather(kb, axis, axis=2, tiled=True)  # [b,kvh,T,dh]
+        kf = jax.lax.all_gather(kb, axis, axis=2, tiled=True)  # [bl,kvh,T,dh]
         vf = jax.lax.all_gather(vb, axis, axis=2, tiled=True)
         g = h // kvh
-        qg = qb.reshape(b, kvh, g, shard_t, dh)
+        bl = qb.shape[0]  # local batch (b / data-axis shard when composed with DP)
+        qg = qb.reshape(bl, kvh, g, shard_t, dh)
         logits = jnp.einsum(
             "bkgqd,bkKd->bkgqK", qg, kf, preferred_element_type=jnp.float32
         )
@@ -78,10 +79,16 @@ def sp_attention(
         out = jnp.einsum(
             "bkgqK,bkKd->bkgqd", attn, vf, preferred_element_type=jnp.float32
         )
-        return out.reshape(b, h, shard_t, dh).astype(qb.dtype)
+        return out.reshape(bl, h, shard_t, dh).astype(qb.dtype)
 
-    seq_spec = P(None, None, axis, None)
-    mask_specs = (P(None, axis),) if key_mask is not None else ()
+    # batch rides the data axis (composes with data parallelism when the
+    # mesh has one and the batch divides it), tokens ride the model axis
+    from .mesh import DATA_AXIS
+
+    n_data = int(mesh.shape.get(DATA_AXIS, 1))
+    batch_axis = DATA_AXIS if (DATA_AXIS in mesh.shape and b % max(n_data, 1) == 0 and n_data > 1) else None
+    seq_spec = P(batch_axis, None, axis, None)
+    mask_specs = (P(batch_axis, axis),) if key_mask is not None else ()
     fn = jax.shard_map(
         local,
         mesh=mesh,

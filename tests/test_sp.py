@@ -74,3 +74,75 @@ def test_sp_attention_output_stays_sequence_sharded():
         jax.device_put(q, act_sh), jax.device_put(k, act_sh), jax.device_put(v, act_sh), mesh
     )
     assert out.sharding.spec == act_sh.spec
+
+
+def test_colpali_gemma_sp_end_to_end_matches_unsharded():
+    """Sequence parallelism consumed by the real model path: the ColPali
+    image/text forwards (Gemma prefix-LM over image-patch + suffix tokens)
+    with the token dim sharded over 8 devices must reproduce the unsharded
+    multi-vector embeddings exactly."""
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from multimodal_embedding_tpu.models import layers
+    from multimodal_embedding_tpu.models.colpali import colpali_image_fwd, colpali_text_fwd
+    from multimodal_embedding_tpu.models.registry import model_info
+    from multimodal_embedding_tpu.models.zoo import load_debug_model
+    from multimodal_embedding_tpu.parallel.mesh import get_mesh
+
+    cp = load_debug_model(model_info("ColPali-v1.3"), seed=0)
+    rng = np.random.default_rng(3)
+    px = jnp.asarray(rng.normal(size=(2, 28, 28, 3)), jnp.float32)  # 4 patches + 4 suffix = 8 tokens
+    ids, qmask = cp.tokenize(["a small query", "another query with more words"])
+    ids, qmask = jnp.asarray(ids), jnp.asarray(qmask)
+
+    assert layers.get_sp_mesh() is None
+    want_img = np.asarray(colpali_image_fwd(cp.params, cp.cfg, px))
+    want_txt = np.asarray(colpali_text_fwd(cp.params, cp.cfg, ids, qmask))
+
+    mesh = get_mesh(n_data=1, n_model=8)
+    layers.set_sp_mesh(mesh)
+    try:
+        rep = NamedSharding(mesh, P())
+        with mesh:
+            got_img = np.asarray(
+                jax.jit(lambda p, x: colpali_image_fwd(p, cp.cfg, x))(
+                    jax.device_put(cp.params, rep), jax.device_put(px, rep)
+                )
+            )
+            got_txt = np.asarray(
+                jax.jit(lambda p, i, m: colpali_text_fwd(p, cp.cfg, i, m))(
+                    jax.device_put(cp.params, rep),
+                    jax.device_put(ids, rep), jax.device_put(qmask, rep),
+                )
+            )
+    finally:
+        layers.set_sp_mesh(None)
+
+    # not strictly bit-for-bit: the sharded local attention contracts via a
+    # differently-shaped einsum than the unsharded grouped-query path, so
+    # XLA's per-element dot ordering can differ at the last ulp; everything
+    # else (projections, norms, MLPs) is token-local and exact
+    np.testing.assert_allclose(got_img, want_img, atol=3e-5, rtol=3e-5)
+    np.testing.assert_allclose(got_txt, want_txt, atol=3e-5, rtol=3e-5)
+
+
+def test_sp_mesh_skips_indivisible_sequences():
+    """Sequences that don't divide the model axis fall through to the
+    single-chip attention paths (no shard_map assert)."""
+    import numpy as np
+
+    from multimodal_embedding_tpu.models import layers
+    from multimodal_embedding_tpu.models.gemma import GemmaConfig, gemma_apply, gemma_init
+    from multimodal_embedding_tpu.parallel.mesh import get_mesh
+
+    cfg = GemmaConfig(vocab_size=64, dim=32, layers=2, heads=4, kv_heads=1, head_dim=8, mlp_dim=64)
+    params = gemma_init(jax.random.key(5), cfg)
+    x = jnp.asarray(np.random.default_rng(6).normal(size=(2, 11, cfg.dim)), jnp.float32)  # 11 % 8 != 0
+    want = np.asarray(gemma_apply(params, cfg, x))
+    layers.set_sp_mesh(get_mesh(n_data=1, n_model=8))
+    try:
+        got = np.asarray(gemma_apply(params, cfg, x))
+    finally:
+        layers.set_sp_mesh(None)
+    np.testing.assert_array_equal(got, want)
