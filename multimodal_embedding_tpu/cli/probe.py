@@ -28,10 +28,88 @@ def parse_args(argv=None):
     p.add_argument("--weights", choices=["real", "arch", "debug"], default="real")
     p.add_argument("--sim-threshold", type=float, default=0.2,
                    help="pos-pair cosine must exceed this (real weights only)")
+    p.add_argument("--hf-parity", action="store_true",
+                   help="also run the HF torch reference on the same fixture "
+                        "and require per-row embedding cosine >= "
+                        "--parity-threshold (the one-command gate between "
+                        "this framework and the reference numbers)")
+    p.add_argument("--parity-threshold", type=float, default=0.999)
+    p.add_argument("--checkpoint-dir", default=None,
+                   help="local checkpoint directory override (instead of the "
+                        "HF hub id) for both our loader and the HF reference")
     return p.parse_args(argv)
 
 
-def probe_model(name: str, weights: str, threshold: float) -> bool:
+def _cosine_rows(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    a = a.reshape(a.shape[0], -1).astype(np.float64)
+    b = b.reshape(b.shape[0], -1).astype(np.float64)
+    return (a * b).sum(-1) / (np.linalg.norm(a, axis=-1) * np.linalg.norm(b, axis=-1) + 1e-12)
+
+
+def hf_parity_check(model, info, checkpoint_dir: str | None = None,
+                    threshold: float = 0.999) -> bool:
+    """Run the HF torch reference on the same pixel/token fixture and require
+    per-row cosine >= threshold for image and text embeddings.
+
+    Supersedes the reference's setup verification
+    (run_benchmark_openai_apple_only.py:61-104) with an actual numerical
+    gate: identical inputs into both stacks, straight through
+    get_image_features/get_text_features. Families whose reference
+    implementation needs unavailable extras (colpali_engine / jina remote
+    code) report a skip instead of failing the probe.
+    """
+    import jax.numpy as jnp
+
+    src = checkpoint_dir or info.hf_id
+    if info.type not in ("dense", "siglip"):
+        print(f"  (hf-parity: {info.type} reference needs "
+              f"{'colpali_engine' if info.type == 'colpali' else 'remote code'};"
+              " covered offline by tests/test_colpali_parity.py /"
+              " tests/test_jina.py — skipped here)")
+        return True
+    try:
+        import torch
+        from transformers import CLIPModel, SiglipModel
+
+        cls = SiglipModel if info.type == "siglip" else CLIPModel
+        hf = cls.from_pretrained(
+            src, torch_dtype=torch.float32, trust_remote_code=info.trust_remote_code
+        ).eval()
+    except Exception as e:
+        print(f"  ❌ hf-parity: reference load failed: {e}")
+        return False
+
+    rng = np.random.default_rng(0)
+    size = model.cfg.vision.image_size
+    pixels = rng.standard_normal((2, size, size, 3)).astype(np.float32)
+    with torch.no_grad():
+        ref_img = hf.get_image_features(
+            pixel_values=torch.from_numpy(pixels.transpose(0, 3, 1, 2))
+        ).numpy()
+    ours_img = np.asarray(model.image_features(jnp.asarray(pixels))).astype(np.float32)
+
+    tcfg = model.cfg.text
+    ids = rng.integers(3, tcfg.vocab_size - 3, size=(2, tcfg.max_len))
+    if info.type == "dense":  # CLIP pools at BOS/EOS positions
+        ids[:, 0] = tcfg.vocab_size - 2
+        ids[:, -1] = tcfg.vocab_size - 1
+    with torch.no_grad():
+        ref_txt = hf.get_text_features(input_ids=torch.from_numpy(ids)).numpy()
+    ours_txt = np.asarray(model.text_features(jnp.asarray(ids))).astype(np.float32)
+    del hf
+
+    ci = _cosine_rows(ours_img, ref_img)
+    ct = _cosine_rows(ours_txt, ref_txt)
+    print(f"  hf-parity cosine: image {ci.min():.6f}, text {ct.min():.6f}")
+    if min(ci.min(), ct.min()) < threshold:
+        print(f"  ❌ hf-parity below {threshold}")
+        return False
+    return True
+
+
+def probe_model(name: str, weights: str, threshold: float,
+                hf_parity: bool = False, parity_threshold: float = 0.999,
+                checkpoint_dir: str | None = None) -> bool:
     from ..models.registry import model_info
 
     info = model_info(name)
@@ -43,10 +121,14 @@ def probe_model(name: str, weights: str, threshold: float) -> bool:
 
             model = load_arch_model(name)
         else:
-            model = load_model(info)
+            model = load_model(info, checkpoint_dir=checkpoint_dir)
     except Exception as e:
         print(f"  ❌ load failed: {e}")
         return False
+
+    if hf_parity and weights == "real":
+        if not hf_parity_check(model, info, checkpoint_dir, parity_threshold):
+            return False
 
     mesh = get_mesh()
     engine = EncodingEngine(model, mesh, batch_size=4)
@@ -98,7 +180,11 @@ def main(argv=None) -> int:
     ok = True
     for info in get_models_to_test(args.models, 4):
         print(f"=== {info.name} ({info.hf_id}) ===")
-        ok &= probe_model(info.name, args.weights, args.sim_threshold)
+        ok &= probe_model(
+            info.name, args.weights, args.sim_threshold,
+            hf_parity=args.hf_parity, parity_threshold=args.parity_threshold,
+            checkpoint_dir=args.checkpoint_dir,
+        )
     return 0 if ok else 1
 
 
