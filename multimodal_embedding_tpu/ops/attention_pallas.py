@@ -91,6 +91,13 @@ def _attn_core(q, k, v, km, iq, *, sm_scale, causal, block_q):
 
     q [BQ, Dh]; k, v [Tk, Dh]; km [1, Tk] int or None; iq = q-block index.
     Returns [BQ, Dh] f32.
+
+    VPU economy (the [BQ, Tk] block is ~9x the size of anything [BQ, Dh], so
+    every whole-block elementwise pass matters):
+    - the softmax scale folds into the max-subtract:
+      softmax(s*l) = exp(s*(l - max(l))) / sum — no standalone scale pass;
+    - the denominator rescale happens AFTER the PV matmul on the [BQ, Dh]
+      output (linearity of the matmul), not on the [BQ, Tk] probabilities.
     """
     logits = jax.lax.dot_general(
         q, k, dimension_numbers=(((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -106,12 +113,13 @@ def _attn_core(q, k, v, km, iq, *, sm_scale, causal, block_q):
             row = iq * block_q + jax.lax.broadcasted_iota(jnp.int32, logits.shape, 0)
             cm = col <= row
             valid = cm if valid is None else valid & cm
-        logits = jnp.where(valid, logits * sm_scale, NEG_INF)
-    else:
-        logits = logits * sm_scale
+        logits = jnp.where(valid, logits, NEG_INF)
 
     m = jnp.max(logits, axis=-1, keepdims=True)
-    p = jnp.exp(logits - m)
+    # masked entries: (NEG_INF - m) * s is hugely negative -> exp == 0; a
+    # fully-masked row has m == NEG_INF and exp(0) == 1 everywhere, zeroed
+    # by the any_valid factor below
+    p = jnp.exp((logits - m) * sm_scale)
     denom = jnp.sum(p, axis=-1, keepdims=True)  # [BQ, 1]
     if valid is not None:
         # Fully-masked rows (left-padded queries under causal masking) get
@@ -121,14 +129,14 @@ def _attn_core(q, k, v, km, iq, *, sm_scale, causal, block_q):
         r = any_valid / denom
     else:
         r = 1.0 / denom
-    attn = p * r  # row-broadcast multiply; the cast below feeds the MXU
 
-    return jax.lax.dot_general(
-        attn.astype(v.dtype),
+    out = jax.lax.dot_general(
+        p.astype(v.dtype),
         v,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
+    return out * r  # deferred softmax denominator, on the small block
 
 
 def _attn_kernel_packed(
