@@ -302,38 +302,56 @@ class EncodingEngine:
         return EncodeResult(out, None, time.perf_counter() - t0)
 
     def encode_texts(self, texts: list[str]) -> EncodeResult:
+        """One host->device put + ONE jitted ``lax.scan`` over text batches:
+        a per-batch dispatch loop costs a tunnel round-trip per chunk (the
+        25k-caption sweep is ~200 chunks — seconds of pure latency on a
+        tunneled runtime); token ids for 25k captions are only ~6 MB, so the
+        whole sweep ships and runs as a single call."""
         if not texts:
             return EncodeResult(jnp.zeros((0,)), None, 0.0)
         t0 = time.perf_counter()
         ids, mask = self.model.tokenize(texts)
-        n = ids.shape[0]
+        n, tlen = ids.shape
         # text sequences are tiny; the image batch size (4 for ColPali,
-        # reference main.py:130) would mean thousands of dispatches for the
+        # reference main.py:130) would mean thousands of scan steps for the
         # 25k caption sweep — use a wide batch for the text tower
         bs = max(self.batch_size, 128)
-        shard_in = data_sharding(self.mesh, ndim=2, axis=0)
-        chunks = []
-        mask_chunks = []
-        for s in range(0, n, bs):
-            bid = ids[s : s + bs]
-            bmask = None if mask is None else mask[s : s + bs]
-            pad = bs - bid.shape[0]
-            if pad:
-                bid = np.concatenate([bid, np.repeat(bid[-1:], pad, axis=0)])
-                if bmask is not None:
-                    bmask = np.concatenate([bmask, np.repeat(bmask[-1:], pad, axis=0)])
-            bid_d = jax.device_put(bid, shard_in)
-            bmask_d = None if bmask is None else jax.device_put(bmask, shard_in)
-            emb = self._txt_fn(self.params, bid_d, bmask_d)
-            if pad:
-                emb = emb[: ids[s : s + bs].shape[0]]
-                if bmask_d is not None:
-                    bmask_d = bmask_d[: ids[s : s + bs].shape[0]]
-            chunks.append(emb)
-            if self.model.multi_vector and bmask_d is not None:
-                mask_chunks.append(bmask_d)
-        out = jnp.concatenate(chunks, axis=0)
-        out_mask = jnp.concatenate(mask_chunks, axis=0) if mask_chunks else None
+        nb = -(-n // bs)
+        pad = nb * bs - n
+        if pad:
+            ids = np.concatenate([ids, np.repeat(ids[-1:], pad, axis=0)])
+            if mask is not None:
+                mask = np.concatenate([mask, np.repeat(mask[-1:], pad, axis=0)])
+        shard_in = data_sharding(self.mesh, ndim=3, axis=1)  # [nb, bs, T]
+        ids_d = jax.device_put(ids.reshape(nb, bs, tlen), shard_in)
+        mask_d = None if mask is None else jax.device_put(mask.reshape(nb, bs, tlen), shard_in)
+
+        key = ("texts", nb, bs, tlen, mask is None)
+        if key not in self._pre_fns:
+            model = self.model
+            out_dtype = jnp.bfloat16 if model.multi_vector else jnp.float32
+
+            def sweep(params, ids_b, mask_b):
+                def body(_, chunk):
+                    cid, cmask = chunk
+                    emb = l2_normalize(model_text_fwd(model, params, cid, cmask))
+                    return None, emb.astype(out_dtype)
+
+                if mask_b is None:
+                    _, embs = jax.lax.scan(
+                        lambda _, cid: (None, l2_normalize(
+                            model_text_fwd(model, params, cid, None)).astype(out_dtype)),
+                        None, ids_b,
+                    )
+                else:
+                    _, embs = jax.lax.scan(body, None, (ids_b, mask_b))
+                return embs.reshape(-1, *embs.shape[2:])
+
+            self._pre_fns[key] = jax.jit(sweep)
+        out = self._pre_fns[key](self.params, ids_d, mask_d)[:n]
+        out_mask = None
+        if self.model.multi_vector and mask_d is not None:
+            out_mask = mask_d.reshape(-1, tlen)[:n]
         out = hard_sync(out)
         return EncodeResult(out, out_mask, time.perf_counter() - t0)
 
