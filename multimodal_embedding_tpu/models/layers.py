@@ -112,20 +112,28 @@ def attention_impl_for(dh: int, tk: int) -> str:
     - long sequences always profit from the fused kernel (the XLA path's
       [T, T] logits HBM round-trips dominate): ViT-L @577 +36%,
       SigLIP @729 +10%, Gemma @1030 -30% attention time;
-    - at medium sequence the kernel needs a lane-clean head dim (Dh | 128
-      packed layout); lane-unfriendly dims (ViT-H's 80) pad per-head tiles
-      to 128 lanes and lose (@257: -11% kernel, bf16-logit SDPA best);
-    - short sequences (text towers @77/64) are VPU/overhead-bound: the
-      plain f32 XLA SDPA wins over both the kernel (-10%) and bf16 logits;
+    - at medium/short sequence the kernel needs a lane-clean head dim
+      (Dh | 128 packed layout); lane-unfriendly dims (ViT-H's 80, SigLIP
+      text's 72) pad per-head tiles to 128 lanes and lose — and for those
+      dims bf16 logits beat f32 at EVERY length (ViT-H@257: kernel -11%
+      vs bf16 SDPA; SigLIP text@64: bf16 +15% over f32 — the f32 [T,T,72]
+      logit chain pays the 72->128 lane pad twice as hard);
+    - lane-clean short sequences (CLIP/LAION text @77, Dh=64) are
+      VPU/overhead-bound: the plain f32 XLA SDPA wins over both the
+      kernel (-10/-13%, re-measured after the v2 VPU-lean softmax:
+      benchmarks/text_impl_bench.py) and bf16 logits (tie);
     - off-TPU stays on the max-parity f32 XLA path.
     """
     if _ATTENTION_IMPL != "auto":
         return _ATTENTION_IMPL
     if jax.default_backend() != "tpu":
         return "xla"
-    if tk >= 512 or (tk >= 256 and (128 % dh == 0 or dh % 128 == 0)):
+    lane_clean = 128 % dh == 0 or dh % 128 == 0
+    if tk >= 512 or (tk >= 256 and lane_clean):
         return "pallas"
-    return "xla_bf16" if tk >= 256 else "xla"
+    if not lane_clean:
+        return "xla_bf16"
+    return "xla"
 
 
 def attention_interpret() -> bool:

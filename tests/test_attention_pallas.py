@@ -299,7 +299,8 @@ def test_gemma_pallas_packed_branch_matches_xla(pallas_impl):
 
 def test_attention_impl_for_shape_dispatch(monkeypatch):
     """The measured crossover table: kernel at long seq (or medium seq with
-    a lane-clean head dim), bf16-logit SDPA at medium, f32 SDPA short."""
+    a lane-clean head dim), bf16-logit SDPA for lane-unfriendly head dims
+    at any shorter length, f32 SDPA for lane-clean short sequences."""
     prev = layers._ATTENTION_IMPL
     try:
         layers.set_attention_impl("auto")
@@ -308,8 +309,9 @@ def test_attention_impl_for_shape_dispatch(monkeypatch):
         assert layers.attention_impl_for(72, 729) == "pallas"  # SigLIP
         assert layers.attention_impl_for(256, 1030) == "pallas"  # Gemma
         assert layers.attention_impl_for(80, 257) == "xla_bf16"  # ViT-H
-        assert layers.attention_impl_for(64, 77) == "xla"  # CLIP text
-        assert layers.attention_impl_for(64, 64) == "xla"  # SigLIP text
+        assert layers.attention_impl_for(64, 77) == "xla"  # CLIP/LAION text
+        assert layers.attention_impl_for(72, 64) == "xla_bf16"  # SigLIP text
+        assert layers.attention_impl_for(64, 64) == "xla"  # lane-clean short
         monkeypatch.setattr(jax, "default_backend", lambda: "cpu")
         assert layers.attention_impl_for(64, 577) == "xla"
         layers.set_attention_impl("pallas")  # explicit choice passes through
