@@ -182,12 +182,18 @@ def run_bootstrap_benchmark(
             transport=transport, preprocess_impl=preprocess_impl,
         )
         logger.info("Warming up (XLA compile)...")
+        # the timed phase encodes two text sweeps (N t2i captions + N*kc all
+        # captions) whose scan shapes must compile here, not inside the timer
+        text_counts = [len(records), len(records) * caps_per_image(records)]
         if cache is not None:
             engine.encode_images_cached(cache)  # compile + first pass
-            engine.warmup(next(iter({r["image"].shape[:2] for r in records})), images=False)
+            engine.warmup(
+                next(iter({r["image"].shape[:2] for r in records})),
+                images=False, text_counts=text_counts,
+            )
         else:
             for g in {r["image"].shape[:2] for r in records}:
-                engine.warmup(g)
+                engine.warmup(g, text_counts=text_counts)
 
         t_start = time.perf_counter()
         s_t2i, s_i2t, encoding_time = compute_score_matrices(

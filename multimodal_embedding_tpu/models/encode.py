@@ -328,26 +328,7 @@ class EncodingEngine:
 
         key = ("texts", nb, bs, tlen, mask is None)
         if key not in self._pre_fns:
-            model = self.model
-            out_dtype = jnp.bfloat16 if model.multi_vector else jnp.float32
-
-            def sweep(params, ids_b, mask_b):
-                def body(_, chunk):
-                    cid, cmask = chunk
-                    emb = l2_normalize(model_text_fwd(model, params, cid, cmask))
-                    return None, emb.astype(out_dtype)
-
-                if mask_b is None:
-                    _, embs = jax.lax.scan(
-                        lambda _, cid: (None, l2_normalize(
-                            model_text_fwd(model, params, cid, None)).astype(out_dtype)),
-                        None, ids_b,
-                    )
-                else:
-                    _, embs = jax.lax.scan(body, None, (ids_b, mask_b))
-                return embs.reshape(-1, *embs.shape[2:])
-
-            self._pre_fns[key] = jax.jit(sweep)
+            self._pre_fns[key] = jax.jit(self._build_text_sweep())
         out = self._pre_fns[key](self.params, ids_d, mask_d)[:n]
         out_mask = None
         if self.model.multi_vector and mask_d is not None:
@@ -355,16 +336,75 @@ class EncodingEngine:
         out = hard_sync(out)
         return EncodeResult(out, out_mask, time.perf_counter() - t0)
 
+    def _build_text_sweep(self):
+        """The jittable whole-sweep text forward: one ``lax.scan`` over
+        [nb, bs, T] batches (see encode_texts). Split out so warmup can
+        AOT-compile it at the real sweep shape before timing starts."""
+        model = self.model
+        out_dtype = jnp.bfloat16 if model.multi_vector else jnp.float32
+
+        def sweep(params, ids_b, mask_b):
+            def body(_, chunk):
+                cid, cmask = chunk
+                emb = l2_normalize(model_text_fwd(model, params, cid, cmask))
+                return None, emb.astype(out_dtype)
+
+            if mask_b is None:
+                _, embs = jax.lax.scan(
+                    lambda _, cid: (None, l2_normalize(
+                        model_text_fwd(model, params, cid, None)).astype(out_dtype)),
+                    None, ids_b,
+                )
+            else:
+                _, embs = jax.lax.scan(body, None, (ids_b, mask_b))
+            return embs.reshape(-1, *embs.shape[2:])
+
+        return sweep
+
+    def warmup_texts(self, counts: list[int]) -> None:
+        """AOT-compile the text-sweep jit for the exact caption counts the
+        timed phase will encode. The sweep's scan length ``nb`` is baked into
+        the compiled shape, so a generic tiny warmup does NOT warm the real
+        sweep — without this, each model paid one full tower compile per
+        distinct caption count *inside* the timed encode phase (measured
+        +7..17 s/model, ~2x on the fastest encoders; COMPAT.md #2 requires
+        compile-free timing)."""
+        ids, mask = self.model.tokenize(["a warmup caption"])
+        tlen = ids.shape[1]
+        bs = max(self.batch_size, 128)
+        shard_in = data_sharding(self.mesh, ndim=3, axis=1)
+        for n in counts:
+            nb = -(-n // bs)
+            key = ("texts", nb, bs, tlen, mask is None)
+            if key in self._pre_fns:
+                continue
+            ids_s = jax.ShapeDtypeStruct((nb, bs, tlen), ids.dtype, sharding=shard_in)
+            mask_s = (
+                None if mask is None
+                else jax.ShapeDtypeStruct((nb, bs, tlen), mask.dtype, sharding=shard_in)
+            )
+            self._pre_fns[key] = (
+                jax.jit(self._build_text_sweep()).lower(self.params, ids_s, mask_s).compile()
+            )
+
     def warmup(
-        self, image_geom: tuple[int, int] = (256, 256), images: bool = True, texts: bool = True
+        self,
+        image_geom: tuple[int, int] = (256, 256),
+        images: bool = True,
+        texts: bool = True,
+        text_counts: list[int] | None = None,
     ) -> None:
         """Compile preprocess/encode graphs before timing (reference
-        main.py:536-547's GPU warmup)."""
+        main.py:536-547's GPU warmup). Pass ``text_counts`` with the caption
+        counts of the timed sweeps so their scan shapes compile here."""
         h, w = image_geom
         if images:
             self.encode_images([np.zeros((h, w, 3), np.uint8)] * 2)
         if texts:
-            self.encode_texts(["a warmup caption"] * 2)
+            if text_counts:
+                self.warmup_texts(text_counts)
+            else:
+                self.encode_texts(["a warmup caption"] * 2)
 
 
 def model_image_fwd(model: LoadedModel, params, pixels: jax.Array) -> jax.Array:
