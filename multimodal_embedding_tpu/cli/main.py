@@ -351,6 +351,13 @@ def main(argv=None) -> int:
 
     logger.info("BENCHMARK COMPLETE!")
     logger.info(f"Results saved to {args.output}")
+    # skip-on-failure is per-model (reference main.py's try/continue), but a
+    # run where EVERY model failed produced no evidence — exit nonzero so
+    # drivers don't mistake an empty CSV for a completed benchmark (seen
+    # once: a transient device OOM failed all 7 loads, exit was still 0)
+    if not final_results:
+        logger.error("No model produced results — benchmark failed")
+        return 1
     return 0
 
 

@@ -144,3 +144,24 @@ def test_cli_determinism(tmp_path):
         if col.endswith(("_mean", "_lower", "_upper", "_std")):
             assert a.iloc[0][col] == b.iloc[0][col], col
     assert a.iloc[0]["_failure_analysis"] == b.iloc[0]["_failure_analysis"]
+
+
+def test_cli_all_models_failed_exits_nonzero(tmp_path, monkeypatch):
+    """Per-model failures skip-and-continue (reference behavior), but a run
+    where every model failed must not exit 0 with an empty CSV — a driver
+    would record it as a completed benchmark (seen with a transient device
+    OOM that failed all loads)."""
+    import multimodal_embedding_tpu.cli.main as cli_main
+
+    def boom(info, seed=0):
+        raise RuntimeError("RESOURCE_EXHAUSTED (simulated)")
+
+    monkeypatch.setattr(cli_main, "load_debug_model", boom)
+    rc = main(
+        [
+            "--dataset", "synthetic", "--debug-models", "--models", "SigLIP-400M",
+            "--sample-size", "24", "--bootstrap-iterations", "6",
+            "--output", str(tmp_path / "empty.csv"),
+        ]
+    )
+    assert rc == 1
