@@ -71,6 +71,31 @@ def test_v28_multi_seed_runner(tmp_path):
         assert "±" in str(row[col]), col
 
 
+def test_v28_encode_once_matches_per_run_encode(tmp_path):
+    """The default encode-once/permute-many mode must reproduce the
+    reference-style per-seed re-encode exactly: tower ops are per-sample
+    independent, so indexing a pool encode equals re-encoding the subset
+    (COMPAT.md #13). Timing columns are excluded (they measure different
+    amounts of work by design)."""
+    args = [
+        "--dataset", "synthetic", "--debug-models",
+        "--models", "OpenAI-CLIP-L,ColPali-v1.3",
+        "--sample-size", "16", "--runs", "2",
+        "--skip-winoground", "--mrr",
+    ]
+    out_once = tmp_path / "once.csv"
+    out_rerun = tmp_path / "rerun.csv"
+    assert v28_main(args + ["--output", str(out_once)]) == 0
+    assert v28_main(args + ["--per-run-encode", "--output", str(out_rerun)]) == 0
+    a, b = pd.read_csv(out_once), pd.read_csv(out_rerun)
+    timing = {"Time", "QPS", "Img/s"}
+    assert list(a.columns) == list(b.columns)
+    for col in a.columns:
+        if col in timing:
+            continue
+        assert list(a[col]) == list(b[col]), col
+
+
 def test_winoground_predicates():
     """Hand-built score matrix: model prefers correct pairs for example 0
     only."""
@@ -152,12 +177,13 @@ def test_merge_results_cli(tmp_path):
 
 def test_cli_handles_model_load_failure(tmp_path):
     """A model whose loader raises is logged and skipped; the loop continues
-    (reference main.py:822-824)."""
+    (reference main.py:822-824) — but a run where NO model succeeded exits
+    nonzero instead of reporting an empty benchmark as complete."""
     import os
 
     out = tmp_path / "r.csv"
-    # real loader requires network -> load fails for the first model; the
-    # run completes with rc 0 and no rows (no model succeeded).
+    # real loader requires network -> load fails; with every model failed the
+    # run must exit 1 and write no rows.
     # HF_HUB_OFFLINE makes the failure immediate instead of a retry timeout.
     os.environ["HF_HUB_OFFLINE"] = "1"
     rc = bench_main(
@@ -168,7 +194,7 @@ def test_cli_handles_model_load_failure(tmp_path):
         ]
     )
     os.environ.pop("HF_HUB_OFFLINE", None)
-    assert rc == 0
+    assert rc == 1
     assert not out.exists() or len(pd.read_csv(out)) == 0
 
 
