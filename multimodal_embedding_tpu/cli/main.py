@@ -183,17 +183,26 @@ def run_bootstrap_benchmark(
         )
         logger.info("Warming up (XLA compile)...")
         # the timed phase encodes two text sweeps (N t2i captions + N*kc all
-        # captions) whose scan shapes must compile here, not inside the timer
-        text_counts = [len(records), len(records) * caps_per_image(records)]
+        # captions) whose exact scan shapes must compile here, not inside the
+        # timer (tokenized in full: dynamic-padding tokenizers make the token
+        # length a property of the whole set)
+        kc = caps_per_image(records)
+        text_sets = [
+            [r["captions"][0] for r in records],
+            [c for r in records for c in r["captions"][:kc]],
+        ]
         if cache is not None:
-            engine.encode_images_cached(cache)  # compile + first pass
+            # warmup by RUNNING: compiles AND uploads the executables before
+            # the timer (an AOT compile-only warmup leaves the program upload
+            # in the first timed call — seconds at tunnel bandwidth)
+            engine.encode_images_cached(cache)
             engine.warmup(
                 next(iter({r["image"].shape[:2] for r in records})),
-                images=False, text_counts=text_counts,
+                images=False, text_sets=text_sets,
             )
         else:
             for g in {r["image"].shape[:2] for r in records}:
-                engine.warmup(g, text_counts=text_counts)
+                engine.warmup(g, text_sets=text_sets)
 
         t_start = time.perf_counter()
         s_t2i, s_i2t, encoding_time = compute_score_matrices(

@@ -95,7 +95,7 @@ def run_benchmark_coco(model, engine, records, maxsim_impl="auto", include_mrr=F
     return metrics
 
 
-def encode_pool(model, engine, pool, cache=None):
+def encode_pool(engine, pool, cache=None):
     """Encode the WHOLE pool once per model (images from the device HBM cache
     when staged, both caption sets via the scanned text sweep). Seeded runs
     then index into these arrays: every per-sample op in the towers
@@ -107,21 +107,23 @@ def encode_pool(model, engine, pool, cache=None):
     from ..data.captions import caps_per_image
 
     kc = caps_per_image(pool)
-    n_pool = len(pool)
-    # warmup (reference v28:284-357): compile pass for images + the two
-    # text-sweep scan shapes, outside the timed region (COMPAT #2)
+    t2i_caps = [r["captions"][0] for r in pool]
+    all_caps = [c for r in pool for c in r["captions"][:kc]]
+    # warmup by RUNNING (reference v28:284-357): compiles AND uploads the
+    # executables before the timer — an AOT compile-only warmup leaves the
+    # program upload in the first timed call (COMPAT #2, encode.warmup_texts)
     if cache is not None:
         engine.encode_images_cached(cache)
     else:
         for geom in {r["image"].shape[:2] for r in pool}:
             engine.warmup(geom, texts=False)
-    engine.warmup_texts([n_pool, n_pool * kc])
+    engine.warmup_texts([t2i_caps, all_caps])
 
     t0 = time.perf_counter()
     img = (engine.encode_images_cached(cache) if cache is not None
            else engine.encode_images([r["image"] for r in pool]))
-    txt = engine.encode_texts([r["captions"][0] for r in pool])
-    txt_all = engine.encode_texts([c for r in pool for c in r["captions"][:kc]])
+    txt = engine.encode_texts(t2i_caps)
+    txt_all = engine.encode_texts(all_caps)
     enc_time = time.perf_counter() - t0
     return img, txt, txt_all, kc, enc_time
 
@@ -212,7 +214,7 @@ def main(argv=None) -> int:
 
             pool_enc = None
             if not args.per_run_encode:
-                pool_enc = encode_pool(model, engine, pool, cache=cache)
+                pool_enc = encode_pool(engine, pool, cache=cache)
                 logger.info(f"  Pool encoded once in {pool_enc[4]:.1f}s "
                             f"({len(pool)} images, runs index into it)")
 
@@ -265,6 +267,11 @@ def main(argv=None) -> int:
             del model
 
     logger.info("BENCHMARK COMPLETE.")
+    # mirror cli/main.py: skip-on-failure is per-model, but an all-failed run
+    # must not report an empty benchmark as success
+    if not results:
+        logger.error("No model produced results — benchmark failed")
+        return 1
     return 0
 
 

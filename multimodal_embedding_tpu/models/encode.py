@@ -249,6 +249,40 @@ class EncodingEngine:
         out = hard_sync(out)
         return EncodeResult(out, None, time.perf_counter() - t0)
 
+    def _build_group_fn(self, h: int, w: int):
+        """Jittable per-geometry-group forward: one ``lax.scan`` over cached
+        [nb, b, C, H, W] uint8 batches doing preprocess + encode on device."""
+        pre = self._make_pre(h, w)
+        model = self.model
+        b2 = self.batch_size  # rebatch to this model's batch
+
+        def group_fn(params, batches):
+            nb, b = batches.shape[:2]
+
+            def fwd(batch_u8):
+                px = pre(batch_u8)
+                return l2_normalize(model_image_fwd(model, params, px)).astype(
+                    jnp.bfloat16 if model.multi_vector else jnp.float32
+                )
+
+            if b != b2 and b % b2 == 0:
+                # rebatch INSIDE the scan body: reshaping only the
+                # current ~MB block, never the multi-GB cache array
+                # (a whole-array reshape makes XLA materialize a
+                # second copy of the cache)
+                def body(_, batch_u8):
+                    sub = batch_u8.reshape(b // b2, b2, *batch_u8.shape[1:])
+                    _, e = jax.lax.scan(lambda __, x: (None, fwd(x)), None, sub)
+                    return None, e.reshape(b, *e.shape[2:])
+            else:
+                def body(_, batch_u8):
+                    return None, fwd(batch_u8)
+
+            _, embs = jax.lax.scan(body, None, batches)
+            return embs.reshape(-1, *embs.shape[2:])
+
+        return group_fn
+
     def encode_images_cached(self, cache: DeviceImageCache) -> EncodeResult:
         """Encode from a device-resident image cache: per geometry group, one
         jitted ``lax.scan`` over batches doing preprocess + encode entirely on
@@ -258,36 +292,7 @@ class EncodingEngine:
         for (h, w), idxs, dev, count in cache.groups:
             key = ("cached", h, w, dev.shape[0])
             if key not in self._pre_fns:
-                pre = self._make_pre(h, w)
-                model = self.model
-                b2 = self.batch_size  # rebatch to this model's batch
-
-                def group_fn(params, batches):
-                    nb, b = batches.shape[:2]
-
-                    def fwd(batch_u8):
-                        px = pre(batch_u8)
-                        return l2_normalize(model_image_fwd(model, params, px)).astype(
-                            jnp.bfloat16 if model.multi_vector else jnp.float32
-                        )
-
-                    if b != b2 and b % b2 == 0:
-                        # rebatch INSIDE the scan body: reshaping only the
-                        # current ~MB block, never the multi-GB cache array
-                        # (a whole-array reshape makes XLA materialize a
-                        # second copy of the cache)
-                        def body(_, batch_u8):
-                            sub = batch_u8.reshape(b // b2, b2, *batch_u8.shape[1:])
-                            _, e = jax.lax.scan(lambda __, x: (None, fwd(x)), None, sub)
-                            return None, e.reshape(b, *e.shape[2:])
-                    else:
-                        def body(_, batch_u8):
-                            return None, fwd(batch_u8)
-
-                    _, embs = jax.lax.scan(body, None, batches)
-                    return embs.reshape(-1, *embs.shape[2:])
-
-                self._pre_fns[key] = jax.jit(group_fn)
+                self._pre_fns[key] = jax.jit(self._build_group_fn(h, w))
             emb = self._pre_fns[key](self.params, dev)[:count]
             out_chunks.append((idxs, emb))
 
@@ -361,48 +366,43 @@ class EncodingEngine:
 
         return sweep
 
-    def warmup_texts(self, counts: list[int]) -> None:
-        """AOT-compile the text-sweep jit for the exact caption counts the
-        timed phase will encode. The sweep's scan length ``nb`` is baked into
-        the compiled shape, so a generic tiny warmup does NOT warm the real
-        sweep — without this, each model paid one full tower compile per
-        distinct caption count *inside* the timed encode phase (measured
+    def warmup_texts(self, text_sets: list[list[str]]) -> None:
+        """Warm the text-sweep jits by RUNNING each caption set once. The
+        sweep's scan length ``nb`` AND padded token length ``tlen`` are baked
+        into the compiled shape, so a generic tiny warmup does NOT warm the
+        real sweep — without this, each model paid one full tower compile per
+        distinct sweep shape *inside* the timed encode phase (measured
         +7..17 s/model, ~2x on the fastest encoders; COMPAT.md #2 requires
-        compile-free timing)."""
-        ids, mask = self.model.tokenize(["a warmup caption"])
-        tlen = ids.shape[1]
-        bs = max(self.batch_size, 128)
-        shard_in = data_sharding(self.mesh, ndim=3, axis=1)
-        for n in counts:
-            nb = -(-n // bs)
-            key = ("texts", nb, bs, tlen, mask is None)
-            if key in self._pre_fns:
-                continue
-            ids_s = jax.ShapeDtypeStruct((nb, bs, tlen), ids.dtype, sharding=shard_in)
-            mask_s = (
-                None if mask is None
-                else jax.ShapeDtypeStruct((nb, bs, tlen), mask.dtype, sharding=shard_in)
-            )
-            self._pre_fns[key] = (
-                jax.jit(self._build_text_sweep()).lower(self.params, ids_s, mask_s).compile()
-            )
+        compile-free timing). Running the real sets (not AOT ``.lower().
+        compile()``, measured) matters twice over on a tunneled runtime:
+        (a) dynamic-padding tokenizers (ColPali ``padding='longest'``, Jina
+        ``padding=True``) make ``tlen`` a property of the whole set, so only
+        tokenizing the real set yields the real shape; (b) an AOT-compiled
+        executable is UPLOADED to the device on its first invocation — at
+        tunnel bandwidth that upload is seconds-to-tens-of-seconds landing
+        inside the timed region (measured 3.4s -> 15-25s on a 64-image run
+        under congestion). Execution is the only warmup that front-loads
+        compile + upload + first-touch."""
+        for texts in text_sets:
+            if texts:
+                self.encode_texts(texts)
 
     def warmup(
         self,
         image_geom: tuple[int, int] = (256, 256),
         images: bool = True,
         texts: bool = True,
-        text_counts: list[int] | None = None,
+        text_sets: list[list[str]] | None = None,
     ) -> None:
         """Compile preprocess/encode graphs before timing (reference
-        main.py:536-547's GPU warmup). Pass ``text_counts`` with the caption
-        counts of the timed sweeps so their scan shapes compile here."""
+        main.py:536-547's GPU warmup). Pass ``text_sets`` with the caption
+        sets of the timed sweeps so their exact scan shapes compile here."""
         h, w = image_geom
         if images:
             self.encode_images([np.zeros((h, w, 3), np.uint8)] * 2)
         if texts:
-            if text_counts:
-                self.warmup_texts(text_counts)
+            if text_sets:
+                self.warmup_texts(text_sets)
             else:
                 self.encode_texts(["a warmup caption"] * 2)
 

@@ -109,26 +109,29 @@ def test_text_encoding_batching(setup):
     )
 
 
-def test_warmup_texts_precompiles_the_timed_sweep(setup):
-    """warmup_texts(counts) must AOT-compile the exact scan shapes the timed
-    encode will use — the sweep's scan length nb is baked into the jit, so a
-    generic tiny warmup does not warm it (this cost one full tower compile
-    per caption count inside the timed phase before the fix)."""
+def test_warmup_texts_warms_the_timed_sweep(setup):
+    """warmup_texts(text_sets) must warm the exact scan shapes the timed
+    encode will use — the sweep's scan length nb AND padded token length are
+    baked into the jit, so a generic tiny warmup does not warm it (this cost
+    one full tower compile per sweep shape inside the timed phase before the
+    fix; see the warmup_texts docstring for why it runs rather than
+    AOT-compiles)."""
     model, mesh, _ = setup
     eng = EncodingEngine(model, mesh, batch_size=8)
-    counts = [19, 300]
-    eng.warmup_texts(counts)
+    set_small = [f"a photo of object {i}" for i in range(19)]
+    set_large = [f"a photo of object {i}" for i in range(300)]
+    eng.warmup_texts([set_small, set_large])
     keys = [k for k in eng._pre_fns if k[0] == "texts"]
     assert len(keys) == 2
     # 300 captions at wide text batch 128 -> 3 scan steps; 19 -> 1
     assert sorted(k[1] for k in keys) == [1, 3]
-    # the real encode must reuse the compiled sweeps (cache hit, no new key)
-    out = eng.encode_texts([f"a photo of object {i}" for i in range(300)])
+    # the real encode must reuse the warmed sweeps (cache hit, no new key)
+    out = eng.encode_texts(set_large)
     assert out.embeddings.shape[0] == 300
     assert len([k for k in eng._pre_fns if k[0] == "texts"]) == 2
-    # and the precompiled path matches a from-scratch engine bit-for-bit
+    # and the warmed path matches a from-scratch engine bit-for-bit
     fresh = EncodingEngine(model, mesh, batch_size=8)
-    ref = fresh.encode_texts([f"a photo of object {i}" for i in range(300)])
+    ref = fresh.encode_texts(set_large)
     np.testing.assert_array_equal(np.asarray(out.embeddings), np.asarray(ref.embeddings))
 
 
