@@ -3,9 +3,15 @@
 Reference entry points ``train_rl_pure_lora.py`` (support tickets) and
 ``train_rl_hard.py`` (fintech) map to ``--task support`` / ``--task fintech``
 with the reference's hyperparameters as defaults (lr 1e-5, 8 generations,
-grad-accum 4, 5 epochs — train_rl_pure_lora.py:108-123). Offline, the policy
-is a Gemma decoder (configurable size, random init or --base-params) with the
-byte-level tokenizer; adapters are checkpointed as .npz.
+grad-accum 4, 5 epochs — train_rl_pure_lora.py:108-123).
+
+``--arch qwen3`` selects the reference's actual base-model family
+(Qwen/Qwen3-14B, train_rl_pure_lora.py:74-82); ``--base-params`` loads a
+converted native checkpoint (models/checkpoint.py) and ``--tokenizer``
+switches to the HF tokenizer + chat template (prepare_data.py's
+system/user message format). Offline defaults: random-init decoder at
+``--model-size`` with the byte-level tokenizer; adapters are checkpointed
+as .npz.
 """
 
 from __future__ import annotations
@@ -17,15 +23,27 @@ from pathlib import Path
 import numpy as np
 import jax
 
-from ..models.gemma import GemmaConfig, gemma_init
+from ..models.gemma import GemmaConfig
+from ..models.qwen3 import QWEN3_14B, Qwen3Config
 from ..rl.datasets import generate_fintech_dataset, generate_support_tickets
 from ..rl.grpo import GRPOConfig, GRPOTrainer
 from ..rl.lora import LoraConfig
+from ..rl.policy import get_arch
 from ..rl.rewards import fintech_reward, support_ticket_reward
 from ..rl import tokenizer as tok
 from ..utils.logging import setup_logging
 
 logger = logging.getLogger("mme_tpu")
+
+# The reference's system prompt (train_rl_pure_lora.py:89 / prepare_data.py),
+# applied when the HF chat template is active.
+REFERENCE_SYSTEM_PROMPT = (
+    "You are a strict data extraction engine.\n"
+    "RULES:\n"
+    "1. Output ONLY a JSON object.\n"
+    "2. DO NOT use <think> tags.\n"
+    '3. Allowed categories: ["BILLING", "TECHNICAL", "SHIPPING", "PRODUCT", "OTHER"].'
+)
 
 
 def default_gemma_config(size: str) -> GemmaConfig:
@@ -42,10 +60,68 @@ def default_gemma_config(size: str) -> GemmaConfig:
     raise ValueError(size)
 
 
+def default_qwen3_config(size: str, vocab_size: int | None = None) -> Qwen3Config:
+    """Qwen3 geometry at reduced scale for offline runs; 'full' is the true
+    Qwen/Qwen3-14B config (for checkpoint loads / multi-chip)."""
+    v = vocab_size or tok.VOCAB_SIZE
+    if size == "debug":
+        return Qwen3Config(
+            vocab_size=v, dim=64, layers=2, heads=4, kv_heads=2, head_dim=16,
+            mlp_dim=128, tie_embeddings=True,
+        )
+    if size == "small":
+        return Qwen3Config(
+            vocab_size=v, dim=512, layers=8, heads=8, kv_heads=4, head_dim=64,
+            mlp_dim=2048, tie_embeddings=True,
+        )
+    if size == "full":
+        return QWEN3_14B
+    raise ValueError(size)
+
+
+def build_model(args):
+    """(base_params, model_cfg, arch, tokenizer, system_prompt) per CLI args."""
+    arch = get_arch(args.arch)
+    tokenizer = tok.ByteTokenizer()
+    system_prompt = args.system_prompt
+    if args.tokenizer:
+        from ..rl.hf_tokenizer import HFTokenizer
+
+        tokenizer = HFTokenizer(args.tokenizer)
+        if system_prompt is None:
+            system_prompt = REFERENCE_SYSTEM_PROMPT
+
+    if args.base_params:
+        from ..models.checkpoint import load_params
+
+        base, mcfg = load_params(args.base_params)
+        logger.info(f"Loaded base params from {args.base_params}: {mcfg}")
+    else:
+        if args.arch == "qwen3":
+            mcfg = default_qwen3_config(args.model_size, tokenizer.vocab_size)
+        else:
+            if args.model_size == "full":
+                raise SystemExit("--model-size full requires --arch qwen3")
+            mcfg = default_gemma_config(args.model_size)
+            if tokenizer.vocab_size != mcfg.vocab_size:
+                import dataclasses
+
+                mcfg = dataclasses.replace(mcfg, vocab_size=tokenizer.vocab_size)
+        base = arch.init(jax.random.key(args.seed), mcfg)
+    return base, mcfg, arch, tokenizer, system_prompt
+
+
 def parse_args(argv=None):
     p = argparse.ArgumentParser(description="GRPO + LoRA RL trainer (TPU)")
     p.add_argument("--task", choices=["support", "fintech"], default="support")
-    p.add_argument("--model-size", choices=["debug", "small"], default="small")
+    p.add_argument("--arch", choices=["gemma", "qwen3"], default="gemma",
+                   help="policy architecture (qwen3 = the reference's base model family)")
+    p.add_argument("--model-size", choices=["debug", "small", "full"], default="small")
+    p.add_argument("--base-params", type=str, default=None,
+                   help="native .npz checkpoint of converted base weights")
+    p.add_argument("--tokenizer", type=str, default=None,
+                   help="HF tokenizer dir/id (local) -> chat-template prompts; default byte-level")
+    p.add_argument("--system-prompt", type=str, default=None)
     p.add_argument("--dataset-size", type=int, default=50)
     p.add_argument("--learning-rate", type=float, default=1e-5)
     p.add_argument("--num-generations", type=int, default=8)
@@ -63,8 +139,7 @@ def main(argv=None) -> int:
     args = parse_args(argv)
     setup_logging("train_rl.log")
 
-    gcfg = default_gemma_config(args.model_size)
-    base = gemma_init(jax.random.key(args.seed), gcfg)
+    base, mcfg, arch, tokenizer, system_prompt = build_model(args)
 
     if args.task == "support":
         dataset = generate_support_tickets(args.dataset_size, seed=args.seed)
@@ -82,8 +157,14 @@ def main(argv=None) -> int:
         lora=LoraConfig(rank=args.lora_rank, alpha=args.lora_alpha),
         seed=args.seed,
     )
-    trainer = GRPOTrainer(base, gcfg, reward, cfg)
-    logger.info(f"GRPO training: task={args.task}, {len(dataset)} prompts, {cfg}")
+    trainer = GRPOTrainer(
+        base, mcfg, reward, cfg, arch=arch, tokenizer=tokenizer,
+        system_prompt=system_prompt,
+    )
+    logger.info(
+        f"GRPO training: task={args.task}, arch={args.arch}, "
+        f"tokenizer={tokenizer.name}, {len(dataset)} prompts, {cfg}"
+    )
     stats = trainer.train(dataset)
 
     out = Path(args.output_dir)

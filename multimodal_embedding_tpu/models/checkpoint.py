@@ -64,10 +64,11 @@ def _register_config_types():
     from .colpali import ColPaliConfig
     from .gemma import GemmaConfig
     from .jina import Eva02Config, JinaBertConfig, JinaClipConfig
+    from .qwen3 import Qwen3Config
     from .towers import DualEncoderConfig, TextConfig, VisionConfig
 
-    for t in (ColPaliConfig, GemmaConfig, DualEncoderConfig, TextConfig, VisionConfig,
-              Eva02Config, JinaBertConfig, JinaClipConfig):
+    for t in (ColPaliConfig, GemmaConfig, Qwen3Config, DualEncoderConfig, TextConfig,
+              VisionConfig, Eva02Config, JinaBertConfig, JinaClipConfig):
         _CONFIG_TYPES[t.__name__] = t
 
 

@@ -71,7 +71,10 @@ def _attn(
     """Self-attention over [B, T, D]. Masking is separable: a dynamic
     key-validity mask [B, T] (True = attend) plus a static causal flag —
     covers both the PaliGemma prefix-LM inference mask (full attention among
-    valid tokens) and the training/prefill causal mask."""
+    valid tokens) and the training/prefill causal mask. Impl dispatch
+    (sp / pallas / xla, PERF.md crossovers) lives in decoder_attn."""
+    from .decoder_attn import grouped_attention
+
     b, t, _ = x.shape
     q = jnp.dot(x, p["q"], preferred_element_type=jnp.float32).astype(x.dtype)
     k = jnp.dot(x, p["k"], preferred_element_type=jnp.float32).astype(x.dtype)
@@ -83,88 +86,9 @@ def _attn(
     q = _rope(q, positions, cfg.rope_theta)
     k = _rope(k, positions, cfg.rope_theta)
 
-    from .layers import attention_impl_for, attention_interpret, get_sp_mesh
-
-    sp = get_sp_mesh()
-    if sp is not None:
-        from ..parallel.mesh import MODEL_AXIS
-
-        if t % int(sp.shape[MODEL_AXIS]) == 0:
-            # sequence parallelism (--sequence-parallel): the token dim is
-            # sharded over the model axis — projections/rope above are
-            # token-local, attention all-gathers K/V over ICI inside the
-            # shard_map (parallel/sp.py). Shapes that don't divide the axis
-            # (short text queries) fall through to the single-chip paths.
-            from ..parallel.sp import sp_attention
-
-            out = sp_attention(
-                jnp.swapaxes(q, 1, 2),
-                jnp.swapaxes(k, 1, 2),
-                jnp.swapaxes(v, 1, 2),
-                sp,
-                key_mask=key_mask,
-                causal=causal,
-                sm_scale=1.0 / math.sqrt(cfg.head_dim),
-            )
-            out = jnp.swapaxes(out, 1, 2).astype(x.dtype).reshape(b, t, cfg.heads * cfg.head_dim)
-            return jnp.dot(out, p["o"], preferred_element_type=jnp.float32).astype(x.dtype)
-
-    # shape-aware like layers.mha: ColPali's ~20-70-token text queries take
-    # the measured-faster XLA path; the 1030-token image prefix takes the
-    # kernel (PERF.md crossovers)
-    impl = attention_impl_for(cfg.head_dim, t)
-    if impl == "pallas":
-        from ..ops.attention_pallas import fused_attention
-
-        dh = cfg.head_dim
-        hpb = math.lcm(dh, 128) // dh
-        if cfg.heads % hpb == 0 and (cfg.kv_heads == cfg.heads or hpb == 1):
-            # head_dim 256 is lane-tile-aligned, so the kernel takes the
-            # packed [B, T, H*Dh] projection layout — the flattening reshapes
-            # fuse into the rope epilogue instead of materializing transposes
-            out = fused_attention(
-                q.reshape(b, t, cfg.heads * dh),
-                k.reshape(b, t, cfg.kv_heads * dh),
-                v.reshape(b, t, cfg.kv_heads * dh),
-                key_mask=key_mask,
-                causal=causal,
-                sm_scale=1.0 / math.sqrt(dh),
-                interpret=attention_interpret(),
-                layout="packed",
-                num_heads=cfg.heads,
-                num_kv_heads=cfg.kv_heads,
-            )
-            out = out.astype(x.dtype)
-        else:  # tiny/debug head dims: transposed layout
-            out = fused_attention(
-                jnp.swapaxes(q, 1, 2),
-                jnp.swapaxes(k, 1, 2),
-                jnp.swapaxes(v, 1, 2),
-                key_mask=key_mask,
-                causal=causal,
-                sm_scale=1.0 / math.sqrt(dh),
-                interpret=attention_interpret(),
-            )
-            out = jnp.swapaxes(out, 1, 2).astype(x.dtype).reshape(b, t, cfg.heads * dh)
-        return jnp.dot(out, p["o"], preferred_element_type=jnp.float32).astype(x.dtype)
-
-    mask = jnp.broadcast_to(key_mask[:, None, :], (b, t, t))
-    if causal:
-        mask = mask & jnp.tril(jnp.ones((t, t), bool))[None]
-
-    g = cfg.heads // cfg.kv_heads  # query heads per kv head
-    q = q.reshape(b, t, cfg.kv_heads, g, cfg.head_dim)
-    if impl == "xla_bf16":
-        # bf16 logits (torch-autocast numerics): halves the dominant HBM
-        # traffic of ColPali's 1038^2 attention matrices
-        logits = jnp.einsum("bqhgd,bkhd->bhgqk", q, k).astype(jnp.float32)
-    else:
-        logits = jnp.einsum("bqhgd,bkhd->bhgqk", q, k, preferred_element_type=jnp.float32)
-    logits = logits * (1.0 / math.sqrt(cfg.head_dim))
-    logits = jnp.where(mask[:, None, None, :, :], logits, -1e30)
-    attn = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
-    out = jnp.einsum("bhgqk,bkhd->bqhgd", attn, v, preferred_element_type=jnp.float32)
-    out = out.astype(x.dtype).reshape(b, t, cfg.heads * cfg.head_dim)
+    out = grouped_attention(
+        q, k, v, key_mask=key_mask, causal=causal, sm_scale=1.0 / math.sqrt(cfg.head_dim)
+    )
     return jnp.dot(out, p["o"], preferred_element_type=jnp.float32).astype(x.dtype)
 
 

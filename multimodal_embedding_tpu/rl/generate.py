@@ -1,10 +1,11 @@
-"""Autoregressive sampling for the Gemma decoder with a KV cache.
+"""Autoregressive sampling for the decoder LMs with a KV cache.
 
 The reference delegates generation to TRL/vLLM (train_rl_pure_lora.py:126-138,
 baseline_test.py); here it is a jitted ``lax.scan`` over decode steps with a
 static-shape KV cache — the TPU-native serving path (one compile, no
-per-token dispatch). Supports right-padded prompt batches and temperature or
-greedy sampling.
+per-token dispatch). Supports left-padded prompt batches and temperature or
+greedy sampling, for any registered decoder architecture (rl/policy.py:
+Gemma stand-in or the reference's Qwen3).
 """
 
 from __future__ import annotations
@@ -14,19 +15,20 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from ..models.gemma import GemmaConfig, gemma_decode_step, gemma_lm_logits, gemma_prefill
+from .policy import GEMMA, DecoderArch
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "max_new", "greedy"))
+@functools.partial(jax.jit, static_argnames=("cfg", "max_new", "greedy", "arch"))
 def generate(
     params,
-    cfg: GemmaConfig,
+    cfg,
     prompt_ids: jax.Array,  # [B, Tp] LEFT-padded
     prompt_mask: jax.Array,  # [B, Tp]
     key: jax.Array,
     max_new: int,
     temperature: float = 1.0,
     greedy: bool = False,
+    arch: DecoderArch = GEMMA,
 ):
     """Returns (tokens [B, max_new], logps [B, max_new]) sampled from the
     causal LM. logps are the behavior policy's log-probs of the sampled
@@ -34,11 +36,11 @@ def generate(
     b, tp = prompt_ids.shape
     cache_len = tp + max_new
 
-    hidden, kv = gemma_prefill(params, cfg, prompt_ids, prompt_mask, cache_len)
+    hidden, kv = arch.prefill(params, cfg, prompt_ids, prompt_mask, cache_len)
     prompt_len = jnp.sum(prompt_mask, axis=-1)  # [B]
     # left padding: the last valid prompt token sits at index tp-1; its
     # logits predict the first new token
-    first_logits = gemma_lm_logits(params, cfg, hidden[:, tp - 1 : tp])[:, 0]
+    first_logits = arch.lm_logits(params, cfg, hidden[:, tp - 1 : tp])[:, 0]
 
     def sample_from(logits, k):
         if greedy:
@@ -61,7 +63,7 @@ def generate(
         cache_valid = jnp.concatenate(
             [prompt_mask > 0, jnp.broadcast_to(gen_slots <= i, (b, max_new))], axis=1
         )
-        next_logits, kv = gemma_decode_step(params, cfg, kv, tok, pos, tp + i, cache_valid)
+        next_logits, kv = arch.decode_step(params, cfg, kv, tok, pos, tp + i, cache_valid)
         return (kv, next_logits, k), (tok, logp)
 
     (_, _, _), (toks, logps) = jax.lax.scan(

@@ -7,6 +7,11 @@ and apply a policy-gradient step on the LoRA adapters only, with a k3 KL
 penalty to the frozen base policy (TRL's estimator). Hyperparameters mirror
 the reference config: lr 1e-5, 8 generations, grad-accum 4, 5 epochs.
 
+The policy architecture is pluggable (rl/policy.py): the Gemma stand-in for
+offline runs, or the reference's actual Qwen3 family (Qwen/Qwen3-14B,
+train_rl_pure_lora.py:74-82) with the HF tokenizer + chat template
+(rl/hf_tokenizer.py) when a checkpoint is present.
+
 Everything hot is jitted: sampling is the KV-cache scan in rl/generate.py;
 the loss is one teacher-forcing forward over [prompt | completions] with
 per-token masks (tokens after EOS excluded).
@@ -22,9 +27,9 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from ..models.gemma import GemmaConfig, gemma_apply, gemma_embed, gemma_lm_logits
 from . import tokenizer as tok
-from .lora import LoraConfig, apply_lora_to_gemma, lora_init
+from .lora import LoraConfig, apply_lora, lora_init
+from .policy import GEMMA, DecoderArch
 
 import logging
 
@@ -45,7 +50,7 @@ class GRPOConfig:
     seed: int = 42
 
 
-def _completion_logps(params, cfg: GemmaConfig, prompt_ids, prompt_mask, completions):
+def _completion_logps(params, cfg, prompt_ids, prompt_mask, completions, arch: DecoderArch = GEMMA):
     """Teacher-forcing log-probs of completion tokens.
 
     prompt_ids [B, Tp] left-padded; completions [B, Tn].
@@ -54,17 +59,17 @@ def _completion_logps(params, cfg: GemmaConfig, prompt_ids, prompt_mask, complet
     tn = completions.shape[1]
     full = jnp.concatenate([prompt_ids, completions], axis=1)
     mask = jnp.concatenate([prompt_mask, jnp.ones((b, tn), prompt_mask.dtype)], axis=1)
-    embeds = gemma_embed(params, cfg, full)
-    hidden = gemma_apply(params, cfg, embeds, attn_mask=mask, causal=True)
+    embeds = arch.embed(params, cfg, full)
+    hidden = arch.apply(params, cfg, embeds, mask, True)
     # logits at index tp-1+i predict completion[i]
-    logits = gemma_lm_logits(params, cfg, hidden[:, tp - 1 : tp + tn - 1])
+    logits = arch.lm_logits(params, cfg, hidden[:, tp - 1 : tp + tn - 1])
     logp = jax.nn.log_softmax(logits, axis=-1)
     return jnp.take_along_axis(logp, completions[:, :, None], axis=-1)[:, :, 0]
 
 
-def completion_token_mask(completions: jax.Array) -> jax.Array:
+def completion_token_mask(completions: jax.Array, eos_id: int = tok.EOS_ID) -> jax.Array:
     """1.0 for tokens up to and including the first EOS, 0 after."""
-    is_eos = completions == tok.EOS_ID
+    is_eos = completions == eos_id
     after = jnp.cumsum(is_eos.astype(jnp.int32), axis=1) - is_eos.astype(jnp.int32)
     return (after == 0).astype(jnp.float32)
 
@@ -73,14 +78,20 @@ class GRPOTrainer:
     def __init__(
         self,
         base_params,
-        gemma_cfg: GemmaConfig,
+        model_cfg,
         reward_fn: Callable[[str, str], float],
         cfg: GRPOConfig | None = None,
+        arch: DecoderArch = GEMMA,
+        tokenizer=None,
+        system_prompt: str | None = None,
     ):
         self.base = base_params
-        self.gemma_cfg = gemma_cfg
+        self.model_cfg = model_cfg
         self.reward_fn = reward_fn
         self.cfg = cfg or GRPOConfig()
+        self.arch = arch
+        self.tokenizer = tokenizer or tok.ByteTokenizer()
+        self.system_prompt = system_prompt
         self.adapters = lora_init(
             jax.random.key(self.cfg.seed), base_params, self.cfg.lora
         )
@@ -89,12 +100,12 @@ class GRPOTrainer:
         self._key = jax.random.key(self.cfg.seed + 1)
 
         cfg_ = self.cfg
-        gcfg = self.gemma_cfg
+        mcfg = self.model_cfg
         base = self.base
 
         def loss_fn(adapters, prompt_ids, prompt_mask, completions, comp_mask, advantages, ref_logps):
-            merged = apply_lora_to_gemma(base, adapters, cfg_.lora)
-            logps = _completion_logps(merged, gcfg, prompt_ids, prompt_mask, completions)
+            merged = apply_lora(base, adapters, cfg_.lora)
+            logps = _completion_logps(merged, mcfg, prompt_ids, prompt_mask, completions, arch)
             denom = jnp.maximum(jnp.sum(comp_mask), 1.0)
             pg = -jnp.sum(advantages[:, None] * logps * comp_mask) / denom
             # TRL k3 KL estimator vs the frozen base policy
@@ -111,7 +122,7 @@ class GRPOTrainer:
         self._update = jax.jit(update)
 
     def policy_params(self):
-        return apply_lora_to_gemma(self.base, self.adapters, self.cfg.lora)
+        return apply_lora(self.base, self.adapters, self.cfg.lora)
 
     # --- checkpoint / resume -------------------------------------------------
 
@@ -156,19 +167,22 @@ class GRPOTrainer:
         from .generate import generate
 
         g = self.cfg.group_size
-        ids = tok.encode(prompt, self.cfg.max_prompt_len)
-        prompt_ids, prompt_mask = tok.pad_left([ids] * g, max_len=len(ids))
+        tk = self.tokenizer
+        formatted = tk.format_prompt(prompt, self.system_prompt)
+        ids = tk.encode(formatted, self.cfg.max_prompt_len)
+        prompt_ids, prompt_mask = tk.pad_left([ids] * g, max_len=len(ids))
         completions, _ = generate(
             self.policy_params(),
-            self.gemma_cfg,
+            self.model_cfg,
             jnp.asarray(prompt_ids),
             jnp.asarray(prompt_mask),
             self._next_key(),
             max_new=self.cfg.max_new_tokens,
             temperature=self.cfg.temperature,
+            arch=self.arch,
         )
         completions = np.asarray(completions)
-        texts = [tok.decode_until_eos(c) for c in completions]
+        texts = [tk.decode_until_eos(c) for c in completions]
         rewards = np.asarray([self.reward_fn(prompt, t) for t in texts], np.float32)
         return prompt_ids, prompt_mask, completions, texts, rewards
 
@@ -184,10 +198,10 @@ class GRPOTrainer:
                 prompt = dataset[int(di)]["prompt"]
                 p_ids, p_mask, comps, _texts, rewards = self.rollout(prompt)
                 adv = (rewards - rewards.mean()) / (rewards.std() + 1e-4)
-                comp_mask = completion_token_mask(jnp.asarray(comps))
+                comp_mask = completion_token_mask(jnp.asarray(comps), self.tokenizer.eos_id)
                 ref_logps = _completion_logps(
-                    self.base, self.gemma_cfg, jnp.asarray(p_ids), jnp.asarray(p_mask),
-                    jnp.asarray(comps),
+                    self.base, self.model_cfg, jnp.asarray(p_ids), jnp.asarray(p_mask),
+                    jnp.asarray(comps), self.arch,
                 )
                 (loss, (pg, kl)), grads = self._grad_fn(
                     self.adapters,

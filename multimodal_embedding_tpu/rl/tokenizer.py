@@ -50,3 +50,29 @@ def pad_left(batch: list[np.ndarray], max_len: int | None = None) -> tuple[np.nd
         ids[i, t - len(x):] = x
         mask[i, t - len(x):] = 1
     return ids, mask
+
+
+class ByteTokenizer:
+    """Object facade over the module functions — the tokenizer protocol the
+    RL stack consumes (rl/hf_tokenizer.HFTokenizer is the other impl):
+    encode / decode_until_eos / pad_left / format_prompt + pad/eos/vocab ids.
+    """
+
+    pad_id = PAD_ID
+    eos_id = EOS_ID
+    vocab_size = VOCAB_SIZE
+    name = "byte"
+
+    def encode(self, text: str, max_len: int | None = None) -> np.ndarray:
+        return encode(text, max_len)
+
+    def decode_until_eos(self, ids) -> str:
+        return decode_until_eos(ids)
+
+    def pad_left(self, batch, max_len=None):
+        return pad_left(batch, max_len)
+
+    def format_prompt(self, prompt: str, system: str | None = None) -> str:
+        """No chat template: dataset prompts already carry their system line
+        (rl/datasets.py); an explicit system is prepended plainly."""
+        return f"{system}\n\n{prompt}" if system else prompt

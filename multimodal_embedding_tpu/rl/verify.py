@@ -4,7 +4,9 @@ baseline_smart_test.py).
 Merges the LoRA adapters into the base weights (the reference's
 ``merge_and_unload``, verify_rl.py:27-28), greedily generates over the
 dataset, and scores: no-<think> rate, clean-JSON rate, and decision/category
-accuracy vs ground truth.
+accuracy vs ground truth. Architecture- and tokenizer-agnostic: the Gemma
+stand-in with the byte tokenizer offline, or Qwen3 with the HF tokenizer +
+chat template (verify_rl.py:34-44) when a checkpoint is present.
 """
 
 from __future__ import annotations
@@ -16,10 +18,10 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..models.gemma import GemmaConfig
 from . import tokenizer as tok
 from .generate import generate
 from .lora import LoraConfig, lora_merge
+from .policy import GEMMA, DecoderArch
 
 logger = logging.getLogger("mme_tpu")
 
@@ -40,28 +42,35 @@ def extract_json_field(text: str, field: str) -> str | None:
 
 def evaluate(
     params,
-    gemma_cfg: GemmaConfig,
+    model_cfg,
     dataset: list[dict],
     answer_field: str,
     max_new: int = 48,
     batch_size: int = 8,
     max_prompt_len: int = 256,
+    arch: DecoderArch = GEMMA,
+    tokenizer=None,
+    system_prompt: str | None = None,
 ) -> dict:
     """Greedy generation + scoring. dataset: [{'prompt', 'answer'}]."""
+    tk = tokenizer or tok.ByteTokenizer()
     n = len(dataset)
     texts: list[str] = []
     for s in range(0, n, batch_size):
         batch = dataset[s : s + batch_size]
-        ids = [tok.encode(r["prompt"], max_prompt_len) for r in batch]
+        ids = [
+            tk.encode(tk.format_prompt(r["prompt"], system_prompt), max_prompt_len)
+            for r in batch
+        ]
         pad = batch_size - len(batch)
         ids += [ids[-1]] * pad
-        p_ids, p_mask = tok.pad_left(ids, max_len=max_prompt_len)
+        p_ids, p_mask = tk.pad_left(ids, max_len=max_prompt_len)
         comps, _ = generate(
-            params, gemma_cfg, jnp.asarray(p_ids), jnp.asarray(p_mask),
-            jax.random.key(0), max_new=max_new, greedy=True,
+            params, model_cfg, jnp.asarray(p_ids), jnp.asarray(p_mask),
+            jax.random.key(0), max_new=max_new, greedy=True, arch=arch,
         )
         comps = np.asarray(comps)[: len(batch)]
-        texts.extend(tok.decode_until_eos(c) for c in comps)
+        texts.extend(tk.decode_until_eos(c) for c in comps)
 
     no_think = sum("<think>" not in t for t in texts)
     clean_json = 0
@@ -84,8 +93,8 @@ def evaluate(
 
 
 def evaluate_merged(
-    base_params, adapters, lora_cfg: LoraConfig, gemma_cfg: GemmaConfig,
+    base_params, adapters, lora_cfg: LoraConfig, model_cfg,
     dataset: list[dict], answer_field: str, **kw,
 ) -> dict:
     merged = lora_merge(base_params, adapters, lora_cfg)
-    return evaluate(merged, gemma_cfg, dataset, answer_field, **kw)
+    return evaluate(merged, model_cfg, dataset, answer_field, **kw)

@@ -151,6 +151,42 @@ def test_jina_converter_matches_manifest():
     gc.collect()
 
 
+def test_qwen3_manifest_matches_converter_key_schema():
+    """Qwen/Qwen3-14B manifest vs the converter's expected key/shape set,
+    derived programmatically (materializing a 14B fp16 state dict is ~28 GB,
+    so unlike the smaller models this checks the contract symbolically;
+    live-HF key drift is covered at tiny scale by
+    tests/test_qwen3_parity.py::test_qwen3_init_matches_converter_shapes)."""
+    import json as _json
+
+    from multimodal_embedding_tpu.models.qwen3 import QWEN3_14B as cfg
+
+    man = _json.loads((MANIFESTS / "Qwen3-14B.json").read_text())
+    expect = {
+        "model.embed_tokens.weight": [cfg.vocab_size, cfg.dim],
+        "model.norm.weight": [cfg.dim],
+        "lm_head.weight": [cfg.vocab_size, cfg.dim],
+    }
+    for i in range(cfg.layers):
+        lp = f"model.layers.{i}"
+        expect.update(
+            {
+                f"{lp}.input_layernorm.weight": [cfg.dim],
+                f"{lp}.post_attention_layernorm.weight": [cfg.dim],
+                f"{lp}.self_attn.q_proj.weight": [cfg.heads * cfg.head_dim, cfg.dim],
+                f"{lp}.self_attn.k_proj.weight": [cfg.kv_heads * cfg.head_dim, cfg.dim],
+                f"{lp}.self_attn.v_proj.weight": [cfg.kv_heads * cfg.head_dim, cfg.dim],
+                f"{lp}.self_attn.o_proj.weight": [cfg.dim, cfg.heads * cfg.head_dim],
+                f"{lp}.self_attn.q_norm.weight": [cfg.head_dim],
+                f"{lp}.self_attn.k_norm.weight": [cfg.head_dim],
+                f"{lp}.mlp.gate_proj.weight": [cfg.mlp_dim, cfg.dim],
+                f"{lp}.mlp.up_proj.weight": [cfg.mlp_dim, cfg.dim],
+                f"{lp}.mlp.down_proj.weight": [cfg.dim, cfg.mlp_dim],
+            }
+        )
+    assert man == expect
+
+
 def test_manifest_drift_raises_clearly():
     sd = ManifestStateDict("OpenAI-CLIP-L")
     with pytest.raises(KeyError, match="key drift"):

@@ -227,3 +227,145 @@ def test_tokenizer_edges():
     assert ids2.shape == mask2.shape
     assert (ids2[mask2 == 0] == tok.PAD_ID).all()
     assert tok.decode_until_eos(list(tok.encode("json!", add_bos=False)) + [tok.EOS_ID, 99]) == "json!"
+
+
+# --- Qwen3 policy (the reference's actual RL base model family) ---------------
+
+from multimodal_embedding_tpu.models.qwen3 import Qwen3Config, qwen3_init
+from multimodal_embedding_tpu.rl.policy import GEMMA, QWEN3, get_arch
+
+QCFG = Qwen3Config(
+    vocab_size=300, dim=32, layers=2, heads=4, kv_heads=2, head_dim=8, mlp_dim=64,
+    tie_embeddings=True,
+)
+
+
+@pytest.fixture(scope="module")
+def qwen3():
+    return qwen3_init(jax.random.key(0), QCFG)
+
+
+def test_qwen3_kv_cache_matches_full_forward(qwen3):
+    """Greedy KV-cache generation == repeated full forward, left-padded batch."""
+    prompt = tok.encode("hello world", None)
+    p_ids, p_mask = tok.pad_left([prompt, tok.encode("hi", None)])
+    toks, logps = generate(
+        qwen3, QCFG, jnp.asarray(p_ids), jnp.asarray(p_mask), jax.random.key(0),
+        max_new=6, greedy=True, arch=QWEN3,
+    )
+    toks = np.asarray(toks)
+    for b in range(2):
+        ids = list(np.asarray(p_ids[b][p_mask[b] > 0]))
+        ref = []
+        for _ in range(6):
+            a_ids = jnp.asarray([ids])
+            a_mask = jnp.ones((1, len(ids)), jnp.int32)
+            hidden = QWEN3.apply(
+                qwen3, QCFG, QWEN3.embed(qwen3, QCFG, a_ids), a_mask, True
+            )
+            nxt = int(jnp.argmax(QWEN3.lm_logits(qwen3, QCFG, hidden)[0, -1]))
+            ref.append(nxt)
+            ids.append(nxt)
+        assert list(toks[b]) == ref, (b, list(toks[b]), ref)
+    assert np.all(np.asarray(logps) <= 0)
+
+
+def test_qwen3_grpo_smoke_training(qwen3):
+    """GRPO over the Qwen3 policy: adapters move, stats finite (the LoRA
+    q/k/v/o targets apply unchanged to the Qwen3 params tree)."""
+    cfg = GRPOConfig(
+        group_size=4, epochs=1, grad_accum=2, max_prompt_len=64,
+        max_new_tokens=8, lora=LoraConfig(rank=2), seed=0,
+    )
+    trainer = GRPOTrainer(qwen3, QCFG, support_ticket_reward, cfg, arch=QWEN3)
+    before = np.asarray(trainer.adapters["q"]["b"]).copy()
+    stats = trainer.train(generate_support_tickets(4, seed=3))
+    assert len(stats["mean_reward"]) == 4
+    assert np.isfinite(stats["loss"]).all()
+    assert np.abs(np.asarray(trainer.adapters["q"]["b"]) - before).max() > 0
+
+
+def test_qwen3_untied_lm_head_gets_lora_and_logits():
+    cfg = Qwen3Config(
+        vocab_size=64, dim=16, layers=2, heads=2, kv_heads=1, head_dim=8, mlp_dim=32,
+        tie_embeddings=False,
+    )
+    params = qwen3_init(jax.random.key(1), cfg)
+    assert "lm_head" in params
+    ids = jnp.asarray([[1, 2, 3]])
+    h = QWEN3.apply(params, cfg, QWEN3.embed(params, cfg, ids), jnp.ones((1, 3), jnp.int32), True)
+    logits = QWEN3.lm_logits(params, cfg, h)
+    assert logits.shape == (1, 3, 64)
+    # untied: changing embed must NOT change logits given fixed hidden
+    params2 = dict(params, embed=params["embed"] + 1.0)
+    np.testing.assert_array_equal(
+        np.asarray(QWEN3.lm_logits(params2, cfg, h)), np.asarray(logits)
+    )
+
+
+def test_get_arch():
+    assert get_arch("gemma") is GEMMA
+    assert get_arch("qwen3") is QWEN3
+    with pytest.raises(KeyError):
+        get_arch("llama")
+
+
+def _build_tiny_hf_tokenizer(tmp_path):
+    """A real HF fast tokenizer built offline (byte-level BPE with no merges)
+    + a minimal chat template, for exercising the HF tokenizer path without
+    network access."""
+    from tokenizers import Tokenizer, models, pre_tokenizers, decoders
+    from transformers import PreTrainedTokenizerFast
+
+    vocab = {chr(i): i for i in range(256)}
+    vocab["<|eos|>"] = 256
+    t = Tokenizer(models.BPE(vocab=vocab, merges=[], unk_token=None))
+    t.pre_tokenizer = pre_tokenizers.Split("", "isolated")
+    t.decoder = decoders.Fuse()
+    hf = PreTrainedTokenizerFast(tokenizer_object=t, eos_token="<|eos|>")
+    hf.chat_template = (
+        "{% for m in messages %}{{ m['role'] }}: {{ m['content'] }}\n{% endfor %}"
+        "{% if add_generation_prompt %}assistant: {% endif %}"
+    )
+    d = tmp_path / "tiny_tok"
+    hf.save_pretrained(d)
+    return d
+
+
+def test_hf_tokenizer_protocol(tmp_path):
+    from multimodal_embedding_tpu.rl.hf_tokenizer import HFTokenizer
+
+    tk = HFTokenizer(str(_build_tiny_hf_tokenizer(tmp_path)))
+    assert tk.eos_id == 256 and tk.vocab_size == 257
+    ids = tk.encode("hello", max_len=3)
+    assert len(ids) == 3  # truncation keeps the tail
+    p_ids, p_mask = tk.pad_left([tk.encode("hi"), tk.encode("longer")])
+    assert p_ids.shape == p_mask.shape == (2, 6)
+    assert (p_ids[p_mask == 0] == tk.pad_id).all()
+    assert tk.decode_until_eos(list(tk.encode("ok")) + [tk.eos_id, 5]) == "ok"
+    text = tk.format_prompt("ticket", system="sys rules")
+    assert text == "system: sys rules\nuser: ticket\nassistant: "
+
+
+def test_qwen3_train_and_verify_cli(tmp_path):
+    """End-to-end --arch qwen3 with the offline HF tokenizer: train (debug
+    size) -> save adapters -> verify CLI (reference verify_rl.py flow)."""
+    from multimodal_embedding_tpu.cli.train_rl import main as train_main
+    from multimodal_embedding_tpu.cli.verify_rl import main as verify_main
+
+    tok_dir = _build_tiny_hf_tokenizer(tmp_path)
+    out = tmp_path / "rl_out"
+    common = [
+        "--task", "support", "--arch", "qwen3", "--model-size", "debug",
+        "--tokenizer", str(tok_dir), "--dataset-size", "3", "--lora-rank", "2",
+    ]
+    rc = train_main(
+        common + [
+            "--epochs", "1", "--num-generations", "4", "--grad-accum", "2",
+            "--max-new-tokens", "8", "--output-dir", str(out),
+        ]
+    )
+    assert rc == 0
+    assert (out / "lora_adapters.npz").exists()
+    rc = verify_main(common + ["--adapters", str(out / "lora_adapters.npz"), "--baseline"])
+    assert rc == 0

@@ -115,6 +115,22 @@ def jina():
     dump("Jina-CLIP-v1", m.state_dict())
 
 
+def qwen3():
+    """Qwen/Qwen3-14B — the reference's RL base model
+    (train_rl_pure_lora.py:74-82); untied lm_head, per-head q/k norms."""
+    from transformers import Qwen3Config, Qwen3ForCausalLM
+
+    cfg = Qwen3Config(
+        vocab_size=151936, hidden_size=5120, intermediate_size=17408,
+        num_hidden_layers=40, num_attention_heads=40, num_key_value_heads=8,
+        head_dim=128, rope_theta=1e6, rms_norm_eps=1e-6,
+        tie_word_embeddings=False,
+    )
+    with torch.device("meta"):
+        m = Qwen3ForCausalLM(cfg)
+    dump("Qwen3-14B", m.state_dict())
+
+
 def main():
     clip("OpenAI-CLIP-L", img=336, v_dim=1024, v_layers=24, v_heads=16, v_mlp=4096,
          patch=14, t_dim=768, t_layers=12, t_heads=12, t_mlp=3072, proj=768,
@@ -132,6 +148,7 @@ def main():
            mlp=4304, max_len=64, vocab=32000)
     colpali()
     jina()
+    qwen3()
 
 
 if __name__ == "__main__":
