@@ -46,6 +46,154 @@ def _cosine_rows(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return (a * b).sum(-1) / (np.linalg.norm(a, axis=-1) * np.linalg.norm(b, axis=-1) + 1e-12)
 
 
+def _checkpoint_state_dict(src):
+    """Raw torch state dict from a checkpoint directory (safetensors or
+    .bin shards), falling back to transformers remote-code loading — lets the
+    jina gate run without executing the checkpoint's modeling code."""
+    from pathlib import Path
+
+    p = Path(src)
+    if p.is_dir():
+        shards = sorted(p.glob("*.safetensors"))
+        if shards:
+            from safetensors.torch import load_file
+
+            sd = {}
+            for f in shards:
+                sd.update(load_file(f))
+            return sd
+        shards = sorted(p.glob("pytorch_model*.bin"))
+        if shards:
+            import torch
+
+            sd = {}
+            for f in shards:
+                sd.update(torch.load(f, map_location="cpu", weights_only=True))
+            return sd
+    from transformers import AutoModel
+
+    return AutoModel.from_pretrained(src, trust_remote_code=True).state_dict()
+
+
+def _colpali_parity(model, info, src: str, threshold: float) -> bool:
+    """ColPali gate via transformers.ColPaliForRetrieval (no colpali_engine
+    needed — same HF class tests/test_colpali_parity.py proves against)."""
+    import torch
+
+    import jax.numpy as jnp
+
+    from transformers import ColPaliForRetrieval
+
+    from ..models.colpali import colpali_image_fwd, colpali_text_fwd
+
+    hf = ColPaliForRetrieval.from_pretrained(src, torch_dtype=torch.float32).eval()
+    cfg = model.cfg
+    rng = np.random.default_rng(0)
+
+    size = cfg.vision.image_size
+    n_patches = (size // cfg.vision.patch_size) ** 2
+    suffix = np.asarray(model.params["image_suffix_ids"], np.int64)
+    pixels = rng.standard_normal((1, size, size, 3)).astype(np.float32)
+    ids_img = np.concatenate(
+        [np.full((1, n_patches), cfg.image_token_id, np.int64), suffix[None]], axis=1
+    )
+    with torch.no_grad():
+        ref_img = hf(
+            input_ids=torch.from_numpy(ids_img),
+            attention_mask=torch.ones_like(torch.from_numpy(ids_img)),
+            pixel_values=torch.from_numpy(pixels.transpose(0, 3, 1, 2)),
+        ).embeddings.numpy()
+    ours_img = np.asarray(
+        colpali_image_fwd(model.params, cfg, jnp.asarray(pixels)), np.float32
+    )
+
+    ids = rng.integers(3, cfg.gemma.vocab_size - 3, size=(2, 16)).astype(np.int64)
+    mask = np.ones((2, 16), np.int64)
+    mask[0, :5] = 0  # processor-style left padding
+    ids[0, :5] = 0
+    with torch.no_grad():
+        ref_txt = hf(
+            input_ids=torch.from_numpy(ids), attention_mask=torch.from_numpy(mask)
+        ).embeddings.numpy()
+    ours_txt = np.asarray(
+        colpali_text_fwd(model.params, cfg, jnp.asarray(ids), jnp.asarray(mask)),
+        np.float32,
+    )
+    del hf
+
+    ci = _cosine_rows(ours_img, ref_img)
+    ct = _cosine_rows(ours_txt, ref_txt)
+    print(f"  hf-parity cosine (multi-vector): image {ci.min():.6f}, text {ct.min():.6f}")
+    if min(ci.min(), ct.min()) < threshold:
+        print(f"  ❌ hf-parity below {threshold}")
+        return False
+    return True
+
+
+def _jina_parity(model, info, src: str, threshold: float) -> bool:
+    """Jina gate via the independent torch reference
+    (tests/jina_torch_reference.py — same key schema as the checkpoint)
+    loaded with the REAL checkpoint weights: avoids executing the
+    checkpoint's remote modeling code while still comparing against torch
+    numerics at the converted weights."""
+    import torch
+
+    import jax.numpy as jnp
+
+    try:
+        from tests.jina_torch_reference import Eva02Torch, JinaBertTorch, JinaClipTorch
+    except ImportError:
+        print("  (hf-parity: tests/jina_torch_reference.py not importable from "
+              "this install; jina gate needs the repo checkout — skipped)")
+        return True
+
+    from ..models.jina import jina_config_from_sd
+
+    sd = _checkpoint_state_dict(src)
+    cfg = jina_config_from_sd(sd)
+    v, t = cfg.vision, cfg.text
+    vision = Eva02Torch(
+        image_size=v.image_size, patch_size=v.patch_size, dim=v.dim, layers=v.layers,
+        heads=v.heads, mlp_dim=v.mlp_dim, proj_dim=v.proj_dim, eps=v.ln_eps,
+        rope_theta=v.rope_theta, rope_pt_grid=v.rope_pt_grid,
+    )
+    bert = JinaBertTorch(t.vocab_size, t.dim, t.layers, t.heads, t.mlp_dim)
+    ref = JinaClipTorch(vision, bert).eval()
+    missing, unexpected = ref.load_state_dict(sd, strict=False)
+    # proj bias exists in the real checkpoint but is optional in the torch ref
+    real_missing = [k for k in missing if k != "vision.proj_b"]
+    if real_missing or unexpected:
+        print(f"  ❌ hf-parity: torch reference/state-dict key drift: "
+              f"missing={real_missing[:4]} unexpected={list(unexpected)[:4]}")
+        return False
+
+    from ..models.encode import model_image_fwd, model_text_fwd
+
+    rng = np.random.default_rng(0)
+    pixels = rng.standard_normal((2, v.image_size, v.image_size, 3)).astype(np.float32)
+    with torch.no_grad():
+        ref_img = ref.encode_image(torch.from_numpy(pixels.transpose(0, 3, 1, 2))).numpy()
+    ours_img = np.asarray(model_image_fwd(model, model.params, jnp.asarray(pixels)), np.float32)
+
+    ids = rng.integers(3, t.vocab_size - 3, size=(2, 48)).astype(np.int64)
+    mask = np.ones((2, 48), np.int64)
+    mask[1, 32:] = 0
+    with torch.no_grad():
+        ref_txt = ref.encode_text(torch.from_numpy(ids), torch.from_numpy(mask)).numpy()
+    ours_txt = np.asarray(
+        model_text_fwd(model, model.params, jnp.asarray(ids), jnp.asarray(mask)), np.float32
+    )
+    del ref
+
+    ci = _cosine_rows(ours_img, ref_img)
+    ct = _cosine_rows(ours_txt, ref_txt)
+    print(f"  hf-parity cosine: image {ci.min():.6f}, text {ct.min():.6f}")
+    if min(ci.min(), ct.min()) < threshold:
+        print(f"  ❌ hf-parity below {threshold}")
+        return False
+    return True
+
+
 def hf_parity_check(model, info, checkpoint_dir: str | None = None,
                     threshold: float = 0.999) -> bool:
     """Run the HF torch reference on the same pixel/token fixture and require
@@ -53,20 +201,22 @@ def hf_parity_check(model, info, checkpoint_dir: str | None = None,
 
     Supersedes the reference's setup verification
     (run_benchmark_openai_apple_only.py:61-104) with an actual numerical
-    gate: identical inputs into both stacks, straight through
-    get_image_features/get_text_features. Families whose reference
-    implementation needs unavailable extras (colpali_engine / jina remote
-    code) report a skip instead of failing the probe.
+    gate: identical inputs into both stacks. dense/siglip go through
+    CLIPModel/SiglipModel get_*_features; colpali through
+    transformers.ColPaliForRetrieval; jina through the independent torch
+    reference loaded with the checkpoint weights — all 7 models are gated.
     """
     import jax.numpy as jnp
 
     src = checkpoint_dir or info.hf_id
-    if info.type not in ("dense", "siglip"):
-        print(f"  (hf-parity: {info.type} reference needs "
-              f"{'colpali_engine' if info.type == 'colpali' else 'remote code'};"
-              " covered offline by tests/test_colpali_parity.py /"
-              " tests/test_jina.py — skipped here)")
-        return True
+    try:
+        if info.type == "colpali":
+            return _colpali_parity(model, info, src, threshold)
+        if info.type == "jina":
+            return _jina_parity(model, info, src, threshold)
+    except Exception as e:
+        print(f"  ❌ hf-parity: {info.type} reference failed: {e}")
+        return False
     try:
         import torch
         from transformers import CLIPModel, SiglipModel
