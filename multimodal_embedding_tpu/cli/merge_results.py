@@ -17,6 +17,10 @@ def merge_csvs(paths: list[str]) -> pd.DataFrame:
     frames = [pd.read_csv(p) for p in paths]
     merged = pd.concat(frames, ignore_index=True)
     merged = merged.drop_duplicates(subset=["Model"], keep="last").reset_index(drop=True)
+    if "Weights" in merged.columns:
+        # reference-schema CSVs (no provenance column, COMPAT.md #14) mix in
+        # as explicit 'unknown' rather than NaN
+        merged["Weights"] = merged["Weights"].fillna("unknown")
     return merged
 
 

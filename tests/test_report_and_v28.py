@@ -175,6 +175,27 @@ def test_merge_results_cli(tmp_path):
     assert float(df[df["Model"] == "B"]["T2I_R@1_mean"].iloc[0]) == 9.0  # later wins
 
 
+def test_merge_results_mixes_reference_schema(tmp_path):
+    """Merging a reference-schema CSV (no Weights column, COMPAT.md #14) with
+    ours must keep the union schema and mark provenance-less rows 'unknown'."""
+    from multimodal_embedding_tpu.cli.merge_results import main as merge_main
+
+    ours = tmp_path / "ours.csv"
+    ref = tmp_path / "ref.csv"
+    out = tmp_path / "merged.csv"
+    pd.DataFrame(
+        [{"Model": "A", "T2I_R@1_mean": 1.0, "Weights": "arch-random"}]
+    ).to_csv(ours, index=False)
+    pd.DataFrame([{"Model": "B", "T2I_R@1_mean": 2.0}]).to_csv(ref, index=False)
+    assert merge_main([str(ours), str(ref), "--output", str(out)]) == 0
+    df = pd.read_csv(out)
+    assert list(df["Weights"]) == ["arch-random", "unknown"]
+
+    # reference-only inputs: no Weights column appears at all
+    assert merge_main([str(ref), "--output", str(out)]) == 0
+    assert "Weights" not in pd.read_csv(out).columns
+
+
 def test_cli_handles_model_load_failure(tmp_path):
     """A model whose loader raises is logged and skipped; the loop continues
     (reference main.py:822-824) — but a run where NO model succeeded exits
