@@ -77,41 +77,58 @@ class DeviceImageCache:
     stage_seconds: float
 
 
-def stage_images(
-    images: list[np.ndarray], mesh: Mesh, batch_size: int
-) -> DeviceImageCache:
-    """One-time host->device staging of native uint8 images."""
-    t0 = time.perf_counter()
+def _group_layout(images: list[np.ndarray], mesh: Mesh, batch_size: int):
+    """(rounded batch size, {geometry: indices}, slice plan). The slice plan
+    lists every <=128MB transfer up front: (geometry, batch offset, n batches)
+    — multi-GB single puts can stall slow or tunneled host links."""
     n_data = mesh.shape["data"]
     batch_size = max(batch_size, n_data) // n_data * n_data
     groups_idx: dict[tuple[int, int], list[int]] = {}
     for i, im in enumerate(images):
         groups_idx.setdefault(im.shape[:2], []).append(i)
+    plan = []
+    for (h, w), idxs in groups_idx.items():
+        nb = -(-len(idxs) // batch_size)
+        step = max(1, (128 << 20) // (batch_size * 3 * h * w))
+        for s in range(0, nb, step):
+            plan.append(((h, w), s, min(step, nb - s)))
+    return batch_size, groups_idx, plan
 
+
+def _group_buffer(images, idxs, h, w, batch_size) -> np.ndarray:
+    """Native images -> one padded [nb, B, 3, H, W] uint8 host buffer.
+
+    NCHW on the wire and in HBM: TPU tiling pads the trailing dim to 128
+    lanes, so [..., 3] would inflate HBM footprint ~42x. The layout
+    conversion uses the threaded native kernel when cores allow."""
+    from ..utils.native import hwc_to_chw_batch
+
+    count = len(idxs)
+    nb = -(-count // batch_size)
+    buf = np.empty((nb * batch_size, 3, h, w), np.uint8)
+    hwc_to_chw_batch([images[i] for i in idxs], out=buf[:count])
+    if nb * batch_size > count:  # pad with repeats of the last image
+        buf[count:] = buf[count - 1]
+    return buf.reshape(nb, batch_size, 3, h, w)
+
+
+def stage_images(
+    images: list[np.ndarray], mesh: Mesh, batch_size: int
+) -> DeviceImageCache:
+    """One-time host->device staging of native uint8 images."""
+    t0 = time.perf_counter()
+    batch_size, groups_idx, _ = _group_layout(images, mesh, batch_size)
     sharding = data_sharding(mesh, ndim=5, axis=1)
     groups = []
     for (h, w), idxs in groups_idx.items():
-        count = len(idxs)
-        nb = -(-count // batch_size)
-        # NCHW on the wire and in HBM: TPU tiling pads the trailing dim to
-        # 128 lanes, so [..., 3] would inflate HBM footprint ~42x. The layout
-        # conversion uses the threaded native kernel when cores allow.
-        from ..utils.native import hwc_to_chw_batch
-
-        buf = np.empty((nb * batch_size, 3, h, w), np.uint8)
-        hwc_to_chw_batch([images[i] for i in idxs], out=buf[:count])
-        if nb * batch_size > count:  # pad with repeats of the last image
-            buf[count:] = buf[count - 1]
-        buf = buf.reshape(nb, batch_size, 3, h, w)
-        # bounded-size transfers: multi-GB single puts can stall slow or
-        # tunneled host links; ship <=128MB slices and concatenate on device
-        batch_bytes = batch_size * 3 * h * w
-        step = max(1, (128 << 20) // batch_bytes)
+        buf = _group_buffer(images, idxs, h, w, batch_size)
+        nb = buf.shape[0]
+        step = max(1, (128 << 20) // (batch_size * 3 * h * w))
         parts = [
             jax.device_put(buf[s : s + step], sharding) for s in range(0, nb, step)
         ]
         dev = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
-        groups.append(((h, w), idxs, dev, count))
+        groups.append(((h, w), idxs, dev, len(idxs)))
     from ..utils.timing import hard_sync as _hs
     _hs([g[2] for g in groups])
     return DeviceImageCache(
@@ -120,6 +137,98 @@ def stage_images(
         n_images=len(images),
         stage_seconds=time.perf_counter() - t0,
     )
+
+
+class AsyncImageStager:
+    """Staging overlapped with encode (SURVEY §7.3.6: host/device overlap is
+    where the wall-clock is won). A host thread converts + uploads <=128MB
+    slices while the FIRST model encodes already-staged slices
+    (``EncodingEngine.encode_images_streaming``); later models take the
+    assembled ``DeviceImageCache`` from :meth:`wait`. The r3 full7 evidence
+    spent 416-701 s in staging strictly BEFORE any encode — this hides it
+    behind model 1's encode phase."""
+
+    def __init__(self, images: list[np.ndarray], mesh: Mesh, batch_size: int):
+        import threading
+
+        self._images = images
+        self._sharding = data_sharding(mesh, ndim=5, axis=1)
+        self.batch_size, self._groups_idx, self.slice_plan = _group_layout(
+            images, mesh, batch_size
+        )
+        self.n_images = len(images)
+        self._chunks: list[tuple[tuple[int, int], list[int], jax.Array, int]] = []
+        self._done = False
+        self._err: BaseException | None = None
+        self._cache: DeviceImageCache | None = None
+        self._cond = threading.Condition()
+        self._t0 = time.perf_counter()
+        self.stage_seconds: float | None = None
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def slice_shapes(self) -> list[tuple[int, int, int]]:
+        """Distinct (h, w, n_batches) of the planned slices — known before any
+        data moves, so the consumer can compile its per-slice encode fns
+        during warmup instead of inside the timed phase."""
+        return sorted({(h, w, nbs) for (h, w), _, nbs in self.slice_plan})
+
+    def _run(self):
+        try:
+            parts: dict[tuple[int, int], list[jax.Array]] = {}
+            for (h, w), idxs in self._groups_idx.items():
+                buf = _group_buffer(self._images, idxs, h, w, self.batch_size)
+                nb = buf.shape[0]
+                step = max(1, (128 << 20) // (self.batch_size * 3 * h * w))
+                for s in range(0, nb, step):
+                    dev = jax.device_put(buf[s : s + step], self._sharding)
+                    valid = min(len(idxs) - s * self.batch_size,
+                                dev.shape[0] * self.batch_size)
+                    chunk_idxs = idxs[s * self.batch_size : s * self.batch_size + valid]
+                    parts.setdefault((h, w), []).append(dev)
+                    with self._cond:
+                        self._chunks.append(((h, w), chunk_idxs, dev, valid))
+                        self._cond.notify_all()
+            groups = []
+            for (h, w), idxs in self._groups_idx.items():
+                p = parts[(h, w)]
+                dev = p[0] if len(p) == 1 else jnp.concatenate(p, axis=0)
+                groups.append(((h, w), idxs, dev, len(idxs)))
+            hard_sync([g[2] for g in groups])
+            self.stage_seconds = time.perf_counter() - self._t0
+            self._cache = DeviceImageCache(
+                groups=groups, batch_size=self.batch_size,
+                n_images=self.n_images, stage_seconds=self.stage_seconds,
+            )
+        except BaseException as e:  # surfaced to the consumer thread
+            self._err = e
+        finally:
+            with self._cond:
+                self._done = True
+                self._cond.notify_all()
+
+    def chunks(self):
+        """Yield staged slices in upload order, blocking until each lands."""
+        i = 0
+        while True:
+            with self._cond:
+                while i >= len(self._chunks) and not self._done:
+                    self._cond.wait()
+                if i < len(self._chunks):
+                    chunk = self._chunks[i]
+                else:
+                    if self._err is not None:
+                        raise self._err
+                    return
+            yield chunk
+            i += 1
+
+    def wait(self) -> DeviceImageCache:
+        """Block until staging completes; returns the shared device cache."""
+        self._thread.join()
+        if self._err is not None:
+            raise self._err
+        return self._cache
 
 
 class EncodingEngine:
@@ -305,6 +414,58 @@ class EncodingEngine:
                 out = out.at[jnp.asarray(idxs)].set(emb)
         out = hard_sync(out)
         return EncodeResult(out, None, time.perf_counter() - t0)
+
+    def encode_images_streaming(self, stager: "AsyncImageStager") -> EncodeResult:
+        """Encode from an in-flight :class:`AsyncImageStager`: each <=128MB
+        slice is encoded as soon as its upload lands, so model 1's encode
+        overlaps the staging the cached path must wait for. ``seconds``
+        excludes time spent BLOCKED on uploads (stall) — keeping QPS the same
+        images-per-encode-second semantics as the cached path (the reference
+        excludes its disk/network staging from encode time too,
+        main.py:549-561); the stall is reported in the log line."""
+        t0 = time.perf_counter()
+        stall = 0.0
+        out_chunks: list[tuple[list[int], jax.Array]] = []
+        it = stager.chunks()
+        while True:
+            tw = time.perf_counter()
+            chunk = next(it, None)
+            stall += time.perf_counter() - tw
+            if chunk is None:
+                break
+            (h, w), idxs, dev, valid = chunk
+            key = ("cached", h, w, dev.shape[0])
+            if key not in self._pre_fns:
+                self._pre_fns[key] = jax.jit(self._build_group_fn(h, w))
+            emb = self._pre_fns[key](self.params, dev)[:valid]
+            out_chunks.append((idxs, emb))
+
+        dim_rest = out_chunks[0][1].shape[1:]
+        out = jnp.zeros((stager.n_images, *dim_rest), out_chunks[0][1].dtype)
+        for idxs, emb in out_chunks:
+            out = out.at[jnp.asarray(idxs)].set(emb)
+        out = hard_sync(out)
+        wall = time.perf_counter() - t0
+        logger = __import__("logging").getLogger("mme_tpu")
+        logger.info(
+            f"streaming image encode: wall {wall:.1f}s, upload stall "
+            f"{stall:.1f}s, compute {wall - stall:.1f}s"
+        )
+        return EncodeResult(out, None, max(wall - stall, 1e-9))
+
+    def warmup_streaming(self, stager: "AsyncImageStager") -> None:
+        """Compile + upload the per-slice encode executables at the stager's
+        planned slice shapes (zeros fixtures) so the streaming encode is
+        compile-free inside the timed phase (COMPAT.md #2)."""
+        shard = data_sharding(self.mesh, ndim=5, axis=1)
+        for h, w, nbs in stager.slice_shapes():
+            key = ("cached", h, w, nbs)
+            if key not in self._pre_fns:
+                self._pre_fns[key] = jax.jit(self._build_group_fn(h, w))
+            dummy = jax.device_put(
+                np.zeros((nbs, stager.batch_size, 3, h, w), np.uint8), shard
+            )
+            hard_sync(self._pre_fns[key](self.params, dummy))
 
     def encode_texts(self, texts: list[str]) -> EncodeResult:
         """One host->device put + ONE jitted ``lax.scan`` over text batches:
