@@ -16,6 +16,11 @@ def parse_args(argv=None):
     p.add_argument("--output", type=str, default="statistical_analysis_report.md",
                    help="Output markdown report")
     p.add_argument("--alpha", type=float, default=0.05, help="Significance level (default 0.05)")
+    p.add_argument("--plots", action="store_true",
+                   help="Also emit PNGs next to the report: accuracy-vs-QPS "
+                        "Pareto frontier + per-category accuracy heatmap (the "
+                        "visualizations the reference docstring promises but "
+                        "never implements, analyze_statistical_results.py:12)")
     return p.parse_args(argv)
 
 
@@ -29,6 +34,11 @@ def main(argv=None) -> int:
     print("Generating statistical analysis report...")
     generate_report(df, args.output, args.alpha, bootstrap=bootstrap)
     print(f"✅ Report saved to {args.output}")
+    if args.plots:
+        from ..analysis.plots import emit_plots
+
+        for p in emit_plots(df, args.output):
+            print(f"📈 Plot saved to {p}")
     return 0
 
 

@@ -132,6 +132,14 @@ def parse_args(argv=None):
     p.add_argument("--lora-alpha", type=int, default=32)
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--output-dir", type=str, default="rl_result")
+    p.add_argument("--format-pretrain", type=int, default=0,
+                   help="supervised format-pretraining steps on the base "
+                        "before GRPO (random field values — the offline "
+                        "equivalent of the reference's pretrained Qwen3 base "
+                        "that can already emit JSON)")
+    p.add_argument("--save-base", type=str, default=None,
+                   help="persist the (possibly pretrained) base params as a "
+                        "native .npz for verify_rl --base-params")
     return p.parse_args(argv)
 
 
@@ -144,9 +152,32 @@ def main(argv=None) -> int:
     if args.task == "support":
         dataset = generate_support_tickets(args.dataset_size, seed=args.seed)
         reward = support_ticket_reward
+        field, choices = "category", ["BILLING", "TECHNICAL", "SHIPPING", "OTHER"]
     else:
         dataset = generate_fintech_dataset(args.dataset_size, seed=args.seed)
         reward = fintech_reward
+        field, choices = "decision", [
+            "STANDARD_LOAN", "MANUAL_REVIEW", "REJECT_RISK", "A_PLUS_TIER",
+        ]
+
+    if args.format_pretrain:
+        from ..rl.pretrain import format_pairs, supervised_pretrain
+
+        pairs = format_pairs(dataset, field, choices, seed=args.seed)
+        logger.info(f"Format pretraining: {args.format_pretrain} steps on {len(pairs)} pairs")
+        base, pre_losses = supervised_pretrain(
+            base, mcfg, pairs, args.format_pretrain, arch=arch, tokenizer=tokenizer,
+            seed=args.seed,
+        )
+        logger.info(
+            f"Pretrain CE: {pre_losses[0]:.3f} -> {np.mean(pre_losses[-20:]):.3f}"
+        )
+
+    if args.save_base:
+        from ..models.checkpoint import save_params
+
+        save_params(args.save_base, base, mcfg)
+        logger.info(f"Saved base params to {args.save_base}")
 
     cfg = GRPOConfig(
         learning_rate=args.learning_rate,

