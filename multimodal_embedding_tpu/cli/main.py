@@ -76,6 +76,11 @@ def parse_args(argv=None):
                    help="Stage images in a background thread while the first "
                         "model encodes already-staged slices (hides the "
                         "one-time staging behind model 1's encode)")
+    p.add_argument("--encode-passes", type=int, default=1,
+                   help="Steady-state timing: run the encode phase N times "
+                        "and report the median encoding_time/QPS (averages "
+                        "out tunnel-latency noise on remote devices; scores "
+                        "are deterministic across passes)")
     p.add_argument("--score-cache-dir", type=str, default=None,
                    help="Persist/resume encoded score matrices (skip re-encoding "
                         "on reruns of the same model+dataset)")
@@ -168,6 +173,7 @@ def run_bootstrap_benchmark(
     score_cache_dir: str | None = None,
     preprocess_impl: str = "xla",
     stager: AsyncImageStager | None = None,
+    encode_passes: int = 1,
 ) -> dict:
     """Encode-once / resample-many (reference main.py:478-667), on device."""
     logger.info(f"Benchmarking {model.info.name} with {n_iterations} bootstrap iterations...")
@@ -228,6 +234,22 @@ def run_bootstrap_benchmark(
         s_t2i, s_i2t, encoding_time = compute_score_matrices(
             model, engine, records, maxsim_impl, cache=cache, mesh=mesh, stager=stager
         )
+        if encode_passes > 1:
+            # scores are deterministic; extra passes only re-time the encode
+            times = [encoding_time]
+            extra_cache = cache if cache is not None else (
+                stager.wait() if stager is not None else None
+            )
+            for _ in range(encode_passes - 1):
+                _, _, et = compute_score_matrices(
+                    model, engine, records, maxsim_impl, cache=extra_cache, mesh=mesh
+                )
+                times.append(et)
+            encoding_time = float(np.median(times))
+            logger.info(
+                f"encode passes: {[round(t, 2) for t in times]} -> "
+                f"median {encoding_time:.2f}s"
+            )
         if score_cache_dir:
             from ..stats.score_cache import save_scores
 
@@ -381,6 +403,7 @@ def main(argv=None) -> int:
                     score_cache_dir=args.score_cache_dir,
                     preprocess_impl=args.preprocess_impl,
                     stager=this_stager,
+                    encode_passes=args.encode_passes,
                 )
             bootstrap_metrics = result.pop("_bootstrap_metrics", None)
             if bootstrap_metrics:

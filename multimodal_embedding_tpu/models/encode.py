@@ -247,9 +247,13 @@ class EncodingEngine:
         host_workers: int = 16,
         preprocess_impl: str = "xla",  # 'xla' | 'pallas' (fused kernel;
         # bit-identical, measured speed parity on v5e)
+        text_dispatch: str = "scan",  # 'scan' (one whole-sweep dispatch) |
+        # 'chunked' (the r2-era per-batch dispatch loop — kept for A/B
+        # diagnostics of the r2->r3 mid-size QPS question)
     ):
         self.model = model
         self.mesh = mesh
+        self.text_dispatch = text_dispatch
         n_data = mesh.shape["data"]
         self.batch_size = max(batch_size, n_data) // n_data * n_data
         if int(mesh.shape.get("model", 1)) > 1:
@@ -488,14 +492,27 @@ class EncodingEngine:
             ids = np.concatenate([ids, np.repeat(ids[-1:], pad, axis=0)])
             if mask is not None:
                 mask = np.concatenate([mask, np.repeat(mask[-1:], pad, axis=0)])
-        shard_in = data_sharding(self.mesh, ndim=3, axis=1)  # [nb, bs, T]
-        ids_d = jax.device_put(ids.reshape(nb, bs, tlen), shard_in)
-        mask_d = None if mask is None else jax.device_put(mask.reshape(nb, bs, tlen), shard_in)
+        ids3 = ids.reshape(nb, bs, tlen)
+        mask3 = None if mask is None else mask.reshape(nb, bs, tlen)
 
-        key = ("texts", nb, bs, tlen, mask is None)
-        if key not in self._pre_fns:
-            self._pre_fns[key] = jax.jit(self._build_text_sweep())
-        out = self._pre_fns[key](self.params, ids_d, mask_d)[:n]
+        if self.text_dispatch == "chunked":
+            # per-batch dispatch loop: one tunnel round-trip per chunk
+            chunk_shard = data_sharding(self.mesh, ndim=2, axis=0)
+            outs = []
+            for s in range(nb):
+                cid = jax.device_put(ids3[s], chunk_shard)
+                cmask = None if mask3 is None else jax.device_put(mask3[s], chunk_shard)
+                outs.append(self._txt_fn(self.params, cid, cmask))
+            out = jnp.concatenate(outs, axis=0)[:n]
+            mask_d = None if mask3 is None else jnp.asarray(mask3)
+        else:
+            shard_in = data_sharding(self.mesh, ndim=3, axis=1)  # [nb, bs, T]
+            ids_d = jax.device_put(ids3, shard_in)
+            mask_d = None if mask3 is None else jax.device_put(mask3, shard_in)
+            key = ("texts", nb, bs, tlen, mask is None)
+            if key not in self._pre_fns:
+                self._pre_fns[key] = jax.jit(self._build_text_sweep())
+            out = self._pre_fns[key](self.params, ids_d, mask_d)[:n]
         out_mask = None
         if self.model.multi_vector and mask_d is not None:
             out_mask = mask_d.reshape(-1, tlen)[:n]

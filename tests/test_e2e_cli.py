@@ -24,6 +24,7 @@ def test_cli_synthetic_end_to_end(tmp_path):
             "--sample-size", "48",
             "--bootstrap-iterations", "12",
             "--batch-size", "16",
+            "--encode-passes", "2",
             "--output", str(out),
         ]
     )

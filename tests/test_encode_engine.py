@@ -134,6 +134,19 @@ def test_multivector_maskless_tokenizer(setup):
     assert out.mask is None
 
 
+def test_text_dispatch_chunked_matches_scan(setup):
+    """The r2-era per-chunk text dispatch (kept for A/B diagnostics,
+    benchmarks/ab_midsize.py) must be numerically identical to the scanned
+    whole-sweep dispatch."""
+    model, mesh, _ = setup
+    texts = [f"caption number {i} with words" for i in range(37)]
+    eng = EncodingEngine(model, mesh, batch_size=8)
+    scan = np.asarray(eng.encode_texts(texts).embeddings)
+    eng.text_dispatch = "chunked"
+    chunked = np.asarray(eng.encode_texts(texts).embeddings)
+    np.testing.assert_array_equal(scan, chunked)
+
+
 def test_text_encoding_batching(setup):
     model, mesh, _ = setup
     eng = EncodingEngine(model, mesh, batch_size=8)
