@@ -119,6 +119,44 @@ def test_qwen3_init_matches_converter_shapes():
     gc.collect()
 
 
+def test_qwen3_greedy_generation_matches_hf(rng):
+    """KV-cache greedy decoding (prefill + decode_step scan, left-padded
+    batch) vs HF ``generate`` — pins rope positions, cache slotting, and the
+    first-token logits path against the reference generation loop."""
+    from multimodal_embedding_tpu.rl.generate import generate
+    from multimodal_embedding_tpu.rl.policy import QWEN3
+
+    _, hf, hf_cfg = _hf_model(
+        5, dim=64, layers=2, heads=4, kv_heads=2, head_dim=16, mlp=128, vocab=256
+    )
+    cfg = qwen3_config_from_hf(hf_cfg)
+    params = qwen3_params_from_hf(hf.state_dict(), cfg)
+
+    ids = rng.integers(3, 255, size=(2, 10)).astype(np.int64)
+    mask = np.ones((2, 10), np.int64)
+    mask[0, :3] = 0
+    ids[0, :3] = 0  # pad id 0
+
+    with torch.no_grad():
+        out = hf.generate(
+            input_ids=torch.from_numpy(ids),
+            attention_mask=torch.from_numpy(mask),
+            max_new_tokens=6,
+            do_sample=False,
+            pad_token_id=0,
+        )
+    ref = out[:, 10:].numpy()
+
+    toks, _ = generate(
+        params, cfg, jnp.asarray(ids.astype(np.int32)),
+        jnp.asarray(mask.astype(np.int32)), jax.random.key(0),
+        max_new=6, greedy=True, arch=QWEN3,
+    )
+    np.testing.assert_array_equal(np.asarray(toks), ref)
+    del hf
+    gc.collect()
+
+
 @pytest.mark.slow
 def test_qwen3_14b_truncated_width_parity(rng):
     """Qwen/Qwen3-14B at true widths — 5120 wide, 40 heads x 128, 8 kv heads,
