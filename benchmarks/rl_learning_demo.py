@@ -37,16 +37,18 @@ def main():
         "--task", "fintech", "--arch", "qwen3", "--model-size", "debug",
         "--seed", "42",
     ]
-    # The reference's lr 1e-5 is tuned for a pretrained 14B; at toy scale it
-    # moves the rank-16 adapters ~nothing in 640 rollouts (measured: reward
-    # flat at -6 for 3 epochs). The DEMO uses a toy-scale lr — the protocol
-    # (GRPO + LoRA + group advantages + k3 KL) is unchanged.
+    # The reference's lr 1e-5 / T 1.0 are tuned for a pretrained 14B; at toy
+    # scale lr 1e-5 moves the rank-16 adapters ~nothing in 640 rollouts, and
+    # at pretrain-CE 0.34 a T=1.0 rollout almost never parses as JSON
+    # (p~0.7^27), leaving group advantages signal-free (both measured — flat
+    # reward for epochs). The DEMO pretrains to a low CE and samples at 0.8;
+    # the protocol (GRPO + LoRA + group advantages + k3 KL) is unchanged.
     rc = train_main(
         common + [
             "--dataset-size", "64", "--epochs", "10",
             "--num-generations", "8", "--grad-accum", "4",
-            "--learning-rate", "1e-3",
-            "--max-new-tokens", "40", "--format-pretrain", "400",
+            "--learning-rate", "1e-3", "--temperature", "0.8",
+            "--max-new-tokens", "40", "--format-pretrain", "2000",
             "--save-base", str(base), "--output-dir", str(OUT),
         ]
     )

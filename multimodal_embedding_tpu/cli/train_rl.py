@@ -128,6 +128,8 @@ def parse_args(argv=None):
     p.add_argument("--epochs", type=int, default=5)
     p.add_argument("--grad-accum", type=int, default=4)
     p.add_argument("--max-new-tokens", type=int, default=48)
+    p.add_argument("--temperature", type=float, default=1.0,
+                   help="rollout sampling temperature")
     p.add_argument("--lora-rank", type=int, default=16)
     p.add_argument("--lora-alpha", type=int, default=32)
     p.add_argument("--seed", type=int, default=42)
@@ -185,6 +187,7 @@ def main(argv=None) -> int:
         epochs=args.epochs,
         grad_accum=args.grad_accum,
         max_new_tokens=args.max_new_tokens,
+        temperature=args.temperature,
         lora=LoraConfig(rank=args.lora_rank, alpha=args.lora_alpha),
         seed=args.seed,
     )
