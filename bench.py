@@ -2,7 +2,13 @@
 encode throughput on real TPU hardware, through the framework's device
 preprocess -> ViT encode pipeline from the device-resident image cache.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints exactly ONE JSON line on EVERY exit path:
+  success -> {"metric", "value", "unit", "vs_baseline"}
+  failure -> {"metric", "value": null, "unit", "vs_baseline": null, "error"}
+
+Backend-init failures (transient axon UNAVAILABLE — CLAUDE.md documents the
+wedge self-drains in 20-40 min) get bounded retries in FRESH subprocesses
+(jax caches a failed backend in-process, so in-process retry is useless).
 
 Baseline: the reference's published OpenAI-CLIP-L encode throughput on an
 NVIDIA A40 — QPS = 60.6 img/s (benchmark_v28_all_models_combined.csv,
@@ -19,10 +25,13 @@ likewise warms up before timing, main.py:536-547).
 from __future__ import annotations
 
 import json
+import os
+import subprocess
+import sys
 import time
 
-import numpy as np
-
+METRIC = "clip_l_encode_images_per_sec"
+UNIT = "img/s"
 BASELINE_CLIP_L_QPS = 60.6  # A40, reference CSV row OpenAI-CLIP-L
 
 # modest staging payload: the one-time image upload is untimed but must
@@ -31,19 +40,24 @@ N_IMAGES = 288
 BATCH = 96  # ViT-L encode is batch-insensitive 64..192 (PERF.md); 96 measured best
 PASSES = 3  # steady-state: amortize the per-dispatch tunnel round-trip
 
+# bounded backend-init retries: 3 attempts spread over ~10 min
+RETRY_DELAYS_S = (0.0, 240.0, 360.0)
 
-def main() -> None:
+
+def run_once() -> dict:
+    """The measurement itself. Raises on any failure (incl. backend init)."""
+    import numpy as np
     import jax
     import jax.numpy as jnp
 
     from multimodal_embedding_tpu.models.arch import full_arch_config
-    from multimodal_embedding_tpu.models.encode import EncodingEngine
+    from multimodal_embedding_tpu.models.encode import EncodingEngine, stage_images
     from multimodal_embedding_tpu.models.registry import model_info
     from multimodal_embedding_tpu.models.zoo import LoadedModel, hash_tokenizer
     from multimodal_embedding_tpu.models.towers import dual_encoder_init
     from multimodal_embedding_tpu.parallel.mesh import get_mesh
-
     from multimodal_embedding_tpu.models.layers import set_attention_impl
+    from multimodal_embedding_tpu.utils.timing import hard_sync
 
     # shape-aware auto: ViT-L (head_dim 64) resolves to the packed-layout
     # fused Pallas kernel — 330.9 img/s / 126.2 TFLOP/s raw forward vs 243.1
@@ -60,8 +74,6 @@ def main() -> None:
         preprocess=info.preprocess,
         tokenize=hash_tokenizer(cfg.text.vocab_size, 77, 49407),
     )
-
-    from multimodal_embedding_tpu.models.encode import stage_images
 
     mesh = get_mesh()
     engine = EncodingEngine(model, mesh, batch_size=BATCH)
@@ -80,7 +92,6 @@ def main() -> None:
 
     cache = stage_images(images, mesh, BATCH)  # one-time staging, untimed
     engine.encode_images_cached(cache)  # warmup: XLA compile + first pass
-    from multimodal_embedding_tpu.utils.timing import hard_sync
 
     t0 = time.perf_counter()
     for _ in range(PASSES):
@@ -89,17 +100,77 @@ def main() -> None:
     dt = time.perf_counter() - t0
 
     qps = PASSES * N_IMAGES / dt
-    print(
-        json.dumps(
-            {
-                "metric": "clip_l_encode_images_per_sec",
-                "value": round(qps, 2),
-                "unit": "img/s",
-                "vs_baseline": round(qps / BASELINE_CLIP_L_QPS, 3),
-            }
-        )
+    return {
+        "metric": METRIC,
+        "value": round(qps, 2),
+        "unit": UNIT,
+        "vs_baseline": round(qps / BASELINE_CLIP_L_QPS, 3),
+    }
+
+
+def _subprocess_attempt() -> tuple[bool, str]:
+    """Run the measurement in a fresh interpreter (fresh backend init).
+    Returns (ok, payload): payload is the JSON line on success, else the
+    error tail."""
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--once"],
+        capture_output=True,
+        text=True,
+        cwd=os.path.dirname(os.path.abspath(__file__)) or ".",
     )
+    if proc.returncode == 0:
+        for line in reversed(proc.stdout.strip().splitlines()):
+            line = line.strip()
+            if line.startswith("{"):
+                try:
+                    json.loads(line)
+                    return True, line
+                except json.JSONDecodeError:
+                    continue
+    tail = (proc.stderr or proc.stdout or "").strip().splitlines()[-8:]
+    return False, " | ".join(t.strip() for t in tail if t.strip())[-500:]
+
+
+def run_with_retries(attempt_fn=_subprocess_attempt, delays=RETRY_DELAYS_S,
+                     sleep=time.sleep) -> int:
+    """Drive bounded attempts; ALWAYS prints exactly one JSON line to stdout.
+
+    ``attempt_fn``/``delays``/``sleep`` are injectable for the forced-failure
+    test (tests/test_bench_contract.py)."""
+    last_err = "no attempts ran"
+    for i, delay in enumerate(delays):
+        if delay:
+            print(f"[bench] retrying in {delay:.0f}s (attempt {i + 1}/"
+                  f"{len(delays)})", file=sys.stderr)
+            sleep(delay)
+        try:
+            ok, payload = attempt_fn()
+        except Exception as e:  # attempt machinery itself failed
+            ok, payload = False, f"{type(e).__name__}: {e}"
+        if ok:
+            print(payload)
+            return 0
+        last_err = payload
+        print(f"[bench] attempt {i + 1} failed: {payload}", file=sys.stderr)
+    print(json.dumps({
+        "metric": METRIC,
+        "value": None,
+        "unit": UNIT,
+        "vs_baseline": None,
+        "error": last_err,
+    }))
+    return 1
+
+
+def main(argv: list[str] | None = None) -> int:
+    argv = sys.argv[1:] if argv is None else argv
+    if "--once" in argv:
+        # inner mode: measure once, no retries; a crash here surfaces as a
+        # nonzero exit that the outer retry loop converts to the error JSON
+        print(json.dumps(run_once()))
+        return 0
+    return run_with_retries()
 
 
 if __name__ == "__main__":
-    main()
+    raise SystemExit(main())

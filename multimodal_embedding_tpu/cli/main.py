@@ -366,13 +366,25 @@ def main(argv=None) -> int:
                 this_stager = stager
                 stager_used = True
             else:
-                # models after the first take the fully-assembled cache
-                cache = stager.wait()
-                stager = None
-                logger.info(
-                    f"Background staging complete: {cache.n_images} images in "
-                    f"{cache.stage_seconds:.1f}s (overlapped with model 1)"
-                )
+                # models after the first take the fully-assembled cache; a
+                # background-staging failure (e.g. transient
+                # RESOURCE_EXHAUSTED) follows the per-model skip-and-continue
+                # policy instead of aborting the whole benchmark
+                try:
+                    cache = stager.wait()
+                    logger.info(
+                        f"Background staging complete: {cache.n_images} "
+                        f"images in {cache.stage_seconds:.1f}s (overlapped "
+                        f"with model 1)"
+                    )
+                except Exception as e:
+                    logger.error(
+                        f"Background staging failed: {e} — continuing "
+                        f"without the shared device cache"
+                    )
+                    cache = None
+                finally:
+                    stager = None
         try:
             if args.debug_models:
                 model = load_debug_model(info, seed=args.seed)
@@ -428,7 +440,10 @@ def main(argv=None) -> int:
     if stager is not None and stager_used:
         # single-model run: join the background stager so the process never
         # exits mid-device_put (a killed transfer can wedge the axon client)
-        stager.wait()
+        try:
+            stager.wait()
+        except Exception as e:
+            logger.error(f"Background staging failed after results: {e}")
 
     logger.info("BENCHMARK COMPLETE!")
     logger.info(f"Results saved to {args.output}")

@@ -95,6 +95,13 @@ def build_model(args):
         from ..models.checkpoint import load_params
 
         base, mcfg = load_params(args.base_params)
+        want = Qwen3Config if args.arch == "qwen3" else GemmaConfig
+        if not isinstance(mcfg, want):
+            raise SystemExit(
+                f"--base-params checkpoint is a {type(mcfg).__name__} but "
+                f"--arch {args.arch} expects {want.__name__}; pass the "
+                f"matching --arch for this checkpoint"
+            )
         logger.info(f"Loaded base params from {args.base_params}: {mcfg}")
     else:
         if args.arch == "qwen3":

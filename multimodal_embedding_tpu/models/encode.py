@@ -426,7 +426,14 @@ class EncodingEngine:
         excludes time spent BLOCKED on uploads (stall) — keeping QPS the same
         images-per-encode-second semantics as the cached path (the reference
         excludes its disk/network staging from encode time too,
-        main.py:549-561); the stall is reported in the log line."""
+        main.py:549-561); the stall is reported in the log line.
+
+        Each chunk's embedding is hard-synced BEFORE the stall clock restarts:
+        JAX dispatch is async, so without the sync the chunk's device compute
+        would overlap the next ``next(it)`` wait and be mis-counted as upload
+        stall, shrinking the reported encode time to dispatch overhead (the
+        round-4 advisor's finding). The background staging thread keeps
+        uploading during the sync, so the overlap itself is preserved."""
         t0 = time.perf_counter()
         stall = 0.0
         out_chunks: list[tuple[list[int], jax.Array]] = []
@@ -441,9 +448,11 @@ class EncodingEngine:
             key = ("cached", h, w, dev.shape[0])
             if key not in self._pre_fns:
                 self._pre_fns[key] = jax.jit(self._build_group_fn(h, w))
-            emb = self._pre_fns[key](self.params, dev)[:valid]
+            emb = hard_sync(self._pre_fns[key](self.params, dev)[:valid])
             out_chunks.append((idxs, emb))
 
+        if not out_chunks:
+            return EncodeResult(jnp.zeros((0,)), None, 0.0)
         dim_rest = out_chunks[0][1].shape[1:]
         out = jnp.zeros((stager.n_images, *dim_rest), out_chunks[0][1].dtype)
         for idxs, emb in out_chunks:

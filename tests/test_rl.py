@@ -409,3 +409,66 @@ def test_supervised_pretrain_teaches_format(qwen3):
         )[0, -1],
     )
     assert int(out) >= 0  # forward healthy post-training
+
+
+def test_temperature_reaches_sampling(gemma):
+    """--temperature must actually change rollout sampling (round-4 verdict
+    Weak #7): T != 1 changes sampled tokens at a fixed PRNG key, and T -> 0
+    matches greedy decoding."""
+    prompt = tok.encode("classify this ticket", None)
+    p_ids, p_mask = tok.pad_left([prompt] * 4)
+    ids, mask = jnp.asarray(p_ids), jnp.asarray(p_mask)
+    key = jax.random.key(7)
+
+    tg, _ = generate(gemma, CFG, ids, mask, key, max_new=12, greedy=True)
+    # the random-init model's logits are near-uniform, so the contrast that
+    # proves T reaches the sampler is low-T (logits amplified -> greedy)
+    # vs high-T (logits drowned -> gumbel noise)
+    tlow, _ = generate(gemma, CFG, ids, mask, key, max_new=12, temperature=1e-4)
+    assert np.array_equal(np.asarray(tlow), np.asarray(tg)), (
+        "T -> 0 sampling should collapse to greedy"
+    )
+    thigh, _ = generate(gemma, CFG, ids, mask, key, max_new=12, temperature=100.0)
+    assert not np.array_equal(np.asarray(thigh), np.asarray(tg)), (
+        "temperature had no effect on sampling at fixed seed"
+    )
+
+
+def test_temperature_cli_to_grpo_config(tmp_path, monkeypatch):
+    """CLI --temperature flows into the GRPOConfig the trainer receives."""
+    from multimodal_embedding_tpu.cli import train_rl as cli_train
+
+    captured = {}
+
+    class FakeTrainer:
+        def __init__(self, base, mcfg, reward, cfg, **kw):
+            captured["cfg"] = cfg
+            self.adapters = {}
+
+        def train(self, dataset):
+            return {"mean_reward": [0.0] * 8, "loss": [0.0], "kl": [0.0]}
+
+    monkeypatch.setattr(cli_train, "GRPOTrainer", FakeTrainer)
+    rc = cli_train.main(
+        ["--task", "support", "--model-size", "debug", "--dataset-size", "2",
+         "--epochs", "1", "--temperature", "0.25",
+         "--output-dir", str(tmp_path / "out")]
+    )
+    assert rc == 0
+    assert captured["cfg"].temperature == 0.25
+
+
+def test_base_params_arch_mismatch_is_clear_cli_error(tmp_path):
+    """A Gemma checkpoint with --arch qwen3 fails fast with a clear message,
+    not deep inside jit tracing (round-4 advisor finding)."""
+    from multimodal_embedding_tpu.cli import train_rl as cli_train
+    from multimodal_embedding_tpu.models.checkpoint import save_params
+
+    ckpt = tmp_path / "gemma_base.npz"
+    save_params(str(ckpt), gemma_init(jax.random.key(0), CFG), CFG)
+    with pytest.raises(SystemExit, match="GemmaConfig.*qwen3|qwen3.*GemmaConfig"):
+        cli_train.main(
+            ["--task", "support", "--arch", "qwen3", "--base-params", str(ckpt),
+             "--dataset-size", "2", "--epochs", "1",
+             "--output-dir", str(tmp_path / "out2")]
+        )
