@@ -234,3 +234,14 @@ def test_device_cache_is_batch_sharded(setup):
         assert len(sharding.device_set) == mesh.devices.size
         spec = sharding.spec
         assert spec[1] == "data", spec
+
+
+def test_streaming_empty_stager_returns_empty_result(setup):
+    """Zero images through the streaming path mirrors encode_images' empty
+    guard instead of raising IndexError (round-4 advisor finding)."""
+    model, mesh, _ = setup
+    eng = EncodingEngine(model, mesh, batch_size=8, transport="device")
+    stager = AsyncImageStager([], mesh, batch_size=8)
+    res = eng.encode_images_streaming(stager)
+    assert res.embeddings.shape[0] == 0
+    assert res.seconds == 0.0
