@@ -67,6 +67,22 @@ def _completion_logps(params, cfg, prompt_ids, prompt_mask, completions, arch: D
     return jnp.take_along_axis(logp, completions[:, :, None], axis=-1)[:, :, 0]
 
 
+def _parses_as_json(text: str) -> bool:
+    """Lenient: does the completion contain a parseable JSON object? Mirrors
+    the reward functions' extraction (strip, else first {...} span) so the
+    telemetry tracks the same format chasm the rewards gate on."""
+    import json
+    import re
+
+    for cand in (text.strip(), *re.findall(r"\{.*?\}", text, re.DOTALL)[:1]):
+        try:
+            if isinstance(json.loads(cand), dict):
+                return True
+        except (json.JSONDecodeError, ValueError):
+            continue
+    return False
+
+
 def completion_token_mask(completions: jax.Array, eos_id: int = tok.EOS_ID) -> jax.Array:
     """1.0 for tokens up to and including the first EOS, 0 after."""
     is_eos = completions == eos_id
@@ -189,15 +205,21 @@ class GRPOTrainer:
     def train(self, dataset: list[dict], log_every: int = 8) -> dict:
         """dataset: [{'prompt': str, ...}]. Returns training stats."""
         cfg = self.cfg
-        stats = {"mean_reward": [], "loss": [], "kl": []}
+        stats = {"mean_reward": [], "loss": [], "kl": [],
+                 "parse_rate": [], "adv_std": []}
         step_grads = None
         n_accum = 0
         for epoch in range(cfg.epochs):
             order = np.random.default_rng(cfg.seed + epoch).permutation(len(dataset))
             for si, di in enumerate(order):
                 prompt = dataset[int(di)]["prompt"]
-                p_ids, p_mask, comps, _texts, rewards = self.rollout(prompt)
+                p_ids, p_mask, comps, texts, rewards = self.rollout(prompt)
                 adv = (rewards - rewards.mean()) / (rewards.std() + 1e-4)
+                # learning-health telemetry (r4 verdict): a flat reward with
+                # parse_rate ~0 means rollouts never cross the JSON format
+                # chasm; adv_std ~0 means the group carries no learning signal
+                parse_rate = float(np.mean([_parses_as_json(t) for t in texts]))
+                adv_std = float(rewards.std())
                 comp_mask = completion_token_mask(jnp.asarray(comps), self.tokenizer.eos_id)
                 ref_logps = _completion_logps(
                     self.base, self.model_cfg, jnp.asarray(p_ids), jnp.asarray(p_mask),
@@ -228,9 +250,12 @@ class GRPOTrainer:
                 stats["mean_reward"].append(float(rewards.mean()))
                 stats["loss"].append(float(loss))
                 stats["kl"].append(float(kl))
+                stats["parse_rate"].append(parse_rate)
+                stats["adv_std"].append(adv_std)
                 if si % log_every == 0:
                     logger.info(
                         f"epoch {epoch} step {si}: reward {rewards.mean():.2f} "
-                        f"loss {float(loss):.4f} kl {float(kl):.5f}"
+                        f"loss {float(loss):.4f} kl {float(kl):.5f} "
+                        f"parse {parse_rate:.2f} adv_std {adv_std:.2f}"
                     )
         return stats
