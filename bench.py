@@ -40,8 +40,11 @@ N_IMAGES = 288
 BATCH = 96  # ViT-L encode is batch-insensitive 64..192 (PERF.md); 96 measured best
 PASSES = 3  # steady-state: amortize the per-dispatch tunnel round-trip
 
-# bounded backend-init retries: 3 attempts spread over ~10 min
+# bounded backend-init retries: 3 attempts spread over ~10 min; each attempt
+# is itself capped — a down axon backend hangs init for 25-30 min, and an
+# unbounded attempt would turn "3 retries" into a 90-minute stall
 RETRY_DELAYS_S = (0.0, 240.0, 360.0)
+ATTEMPT_TIMEOUT_S = 1200.0
 
 
 def run_once() -> dict:
@@ -112,12 +115,16 @@ def _subprocess_attempt() -> tuple[bool, str]:
     """Run the measurement in a fresh interpreter (fresh backend init).
     Returns (ok, payload): payload is the JSON line on success, else the
     error tail."""
-    proc = subprocess.run(
-        [sys.executable, os.path.abspath(__file__), "--once"],
-        capture_output=True,
-        text=True,
-        cwd=os.path.dirname(os.path.abspath(__file__)) or ".",
-    )
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--once"],
+            capture_output=True,
+            text=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)) or ".",
+            timeout=ATTEMPT_TIMEOUT_S,
+        )
+    except subprocess.TimeoutExpired:
+        return False, f"attempt timed out after {ATTEMPT_TIMEOUT_S:.0f}s"
     if proc.returncode == 0:
         for line in reversed(proc.stdout.strip().splitlines()):
             line = line.strip()
