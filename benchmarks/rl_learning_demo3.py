@@ -101,13 +101,16 @@ def main():
 
     probe_diversity(str(base), temperature=1.0)
 
+    # kl_beta 0.01 (not the reference's 0.04): the anchor is the format-only
+    # base at parse~0.12, and the demo's whole point is to move AWAY from it;
+    # 0.04 measurably froze the climb (take-3 first run, epochs 0-8 flat).
     rc = train_main(
         common + [
             "--base-params", str(base),
-            "--dataset-size", "64", "--epochs", "15",
+            "--dataset-size", "64", "--epochs", "20",
             "--num-generations", "8", "--grad-accum", "4",
             "--learning-rate", "2e-4", "--temperature", "1.0",
-            "--max-new-tokens", "40",
+            "--kl-beta", "0.01", "--max-new-tokens", "40",
             "--output-dir", str(OUT),
         ]
     )

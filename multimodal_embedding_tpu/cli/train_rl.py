@@ -137,6 +137,9 @@ def parse_args(argv=None):
     p.add_argument("--max-new-tokens", type=int, default=48)
     p.add_argument("--temperature", type=float, default=1.0,
                    help="rollout sampling temperature")
+    p.add_argument("--kl-beta", type=float, default=0.04,
+                   help="KL penalty weight toward the frozen base "
+                        "(reference default 0.04)")
     p.add_argument("--lora-rank", type=int, default=16)
     p.add_argument("--lora-alpha", type=int, default=32)
     p.add_argument("--seed", type=int, default=42)
@@ -195,6 +198,7 @@ def main(argv=None) -> int:
         grad_accum=args.grad_accum,
         max_new_tokens=args.max_new_tokens,
         temperature=args.temperature,
+        kl_beta=args.kl_beta,
         lora=LoraConfig(rank=args.lora_rank, alpha=args.lora_alpha),
         seed=args.seed,
     )

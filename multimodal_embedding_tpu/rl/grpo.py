@@ -186,7 +186,14 @@ class GRPOTrainer:
         tk = self.tokenizer
         formatted = tk.format_prompt(prompt, self.system_prompt)
         ids = tk.encode(formatted, self.cfg.max_prompt_len)
-        prompt_ids, prompt_mask = tk.pad_left([ids] * g, max_len=len(ids))
+        # bucket the padded prompt length to a multiple of 32: every distinct
+        # length otherwise compiles its own generate/grad/ref-logps
+        # executables, and the accumulated code maps of a long CPU run
+        # exhaust vm.max_map_count (observed as LLVM 'Cannot allocate
+        # memory' ~600 rollouts in). Left-padding further is semantics-free
+        # (mask-driven positions).
+        bucket = min(self.cfg.max_prompt_len, -(-len(ids) // 32) * 32)
+        prompt_ids, prompt_mask = tk.pad_left([ids] * g, max_len=bucket)
         completions, _ = generate(
             self.policy_params(),
             self.model_cfg,
