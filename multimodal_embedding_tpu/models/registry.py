@@ -118,11 +118,16 @@ _BY_NAME = {m.name: m for m in MODEL_REGISTRY + EXTRA_MODELS}
 
 def get_models_to_test(models_arg: str = "all", default_batch_size: int = 32) -> list[ModelInfo]:
     """Filter the registry by the ``--models`` comma list (reference main.py:139-142)."""
-    selected = (
-        MODEL_REGISTRY
-        if models_arg == "all"
-        else [_BY_NAME[n] for n in models_arg.split(",") if n in _BY_NAME]
-    )
+    if models_arg == "all":
+        selected = MODEL_REGISTRY
+    else:
+        names = [n for n in models_arg.split(",") if n]
+        unknown = [n for n in names if n not in _BY_NAME]
+        if unknown:
+            raise SystemExit(
+                f"Unknown model(s) {unknown}; available: {sorted(_BY_NAME)}"
+            )
+        selected = [_BY_NAME[n] for n in names]
     out = []
     for m in selected:
         if m.batch_size is None:

@@ -25,10 +25,24 @@ logger = logging.getLogger("mme_tpu")
 
 
 def format_pairs(
-    dataset: list[dict], field: str, choices: list[str], seed: int = 0
+    dataset: list[dict], field: str, choices: list[str], seed: int = 0,
+    balanced: bool = False,
 ) -> list[tuple[str, str]]:
     """(prompt, completion) pairs with uniformly random field values: format
-    supervision only — expected accuracy of the pretrained base is chance."""
+    supervision only — expected accuracy of the pretrained base is chance.
+
+    balanced=True pairs EVERY prompt with EVERY choice (|dataset|x|choices|
+    pairs). The CE optimum is then a deterministic JSON scaffold with a
+    uniform field value per prompt, so long pretraining drives the parse
+    rate toward 1.0 WITHOUT collapsing within-group sampling diversity —
+    the starting point GRPO needs (random-value pairing memorizes one
+    value per prompt at convergence, killing the group advantage signal)."""
+    if balanced:
+        return [
+            (r["prompt"], f'{{"{field}": "{c}"}}')
+            for r in dataset
+            for c in choices
+        ]
     rng = np.random.default_rng(seed)
     return [
         (r["prompt"], f'{{"{field}": "{choices[int(rng.integers(len(choices)))]}"}}')

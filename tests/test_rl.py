@@ -411,6 +411,21 @@ def test_supervised_pretrain_teaches_format(qwen3):
     assert int(out) >= 0  # forward healthy post-training
 
 
+def test_format_pairs_balanced_covers_every_choice():
+    """balanced=True pairs each prompt with each choice exactly once, so the
+    pretraining CE optimum keeps the field value uniform per prompt (the
+    group-diversity property the GRPO demo starts from)."""
+    from multimodal_embedding_tpu.rl.pretrain import format_pairs
+
+    choices = ["BILLING", "TECHNICAL", "SHIPPING", "OTHER"]
+    ds = generate_support_tickets(6, seed=3)
+    pairs = format_pairs(ds, "category", choices, balanced=True)
+    assert len(pairs) == len(ds) * len(choices)
+    for r in ds:
+        vals = [json.loads(c)["category"] for p, c in pairs if p == r["prompt"]]
+        assert sorted(vals) == sorted(choices)
+
+
 def test_temperature_reaches_sampling(gemma):
     """--temperature must actually change rollout sampling (round-4 verdict
     Weak #7): T != 1 changes sampled tokens at a fixed PRNG key, and T -> 0
