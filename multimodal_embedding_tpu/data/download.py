@@ -54,7 +54,7 @@ def download_image_task(item: dict, cache_dir: Path, max_retries: int = 3) -> tu
 def prepare_dataset_cache(ds, cache_dir: Path, workers: int = 16, min_success: float = 0.99) -> None:
     """Download/verify every image; abort (SystemExit) if success < 99%."""
     cache_dir.mkdir(parents=True, exist_ok=True)
-    logger.info(f"PREPARING DATASET (Caching images to {cache_dir})...")
+    logger.info(f"Preparing dataset: caching images under {cache_dir}")
     tasks = [
         {"idx": idx, "url": item["url"], "imgid": item["imgid"]} for idx, item in enumerate(ds)
     ]
@@ -63,9 +63,12 @@ def prepare_dataset_cache(ds, cache_dir: Path, workers: int = 16, min_success: f
 
     valid = sum(1 for _, ok in results if ok)
     rate = 100 * valid / max(len(tasks), 1)
-    logger.info(f"FINAL CACHE STATUS: {valid}/{len(tasks)} ({rate:.1f}%)")
+    logger.info(f"Image cache ready: {valid}/{len(tasks)} valid ({rate:.1f}%)")
     if valid < len(tasks) * min_success:
-        logger.error("CRITICAL ERROR: >1% download failures. Aborting benchmark.")
+        logger.error(
+            f"Download failure rate exceeds {100 * (1 - min_success):.0f}% — "
+            "aborting the benchmark (same policy as reference main.py:214-218)."
+        )
         raise SystemExit(1)
 
 
