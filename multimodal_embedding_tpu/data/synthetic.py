@@ -25,23 +25,36 @@ _SPATIAL = ["on the left", "on the right", "above the table", "behind the fence"
 _GEOMETRIES = [(480, 640), (640, 480), (480, 480), (427, 640)]
 
 
+_BASE_CACHE: dict[tuple[int, int], np.ndarray] = {}
+
+
+def _gradient_base(h: int, w: int) -> np.ndarray:
+    """Pre-cast int16 gradient; only 4 geometries exist, so cache them."""
+    base = _BASE_CACHE.get((h, w))
+    if base is None:
+        yy, xx = np.mgrid[0:h, 0:w]
+        base = np.stack(
+            [
+                (xx * 255 // max(w, 1)).astype(np.uint8),
+                (yy * 255 // max(h, 1)).astype(np.uint8),
+                ((xx + yy) * 255 // max(h + w, 1)).astype(np.uint8),
+            ],
+            axis=-1,
+        ).astype(np.int16)
+        _BASE_CACHE[(h, w)] = base
+    return base
+
+
 def _render_image(rng: np.random.Generator, h: int, w: int, color: tuple) -> np.ndarray:
-    yy, xx = np.mgrid[0:h, 0:w]
-    base = np.stack(
-        [
-            (xx * 255 // max(w, 1)).astype(np.uint8),
-            (yy * 255 // max(h, 1)).astype(np.uint8),
-            ((xx + yy) * 255 // max(h + w, 1)).astype(np.uint8),
-        ],
-        axis=-1,
-    )
+    base = _gradient_base(h, w).copy()
     # a filled rectangle of the caption color
     for _ in range(int(rng.integers(1, 4))):
         y0, x0 = int(rng.integers(0, h // 2)), int(rng.integers(0, w // 2))
         dy, dx = int(rng.integers(h // 8, h // 2)), int(rng.integers(w // 8, w // 2))
-        base[y0 : y0 + dy, x0 : x0 + dx] = np.array(color, np.uint8)
+        base[y0 : y0 + dy, x0 : x0 + dx] = np.array(color, np.int16)
     noise = rng.integers(0, 16, size=(h, w, 3), dtype=np.uint8)
-    return np.clip(base.astype(np.int16) + noise, 0, 255).astype(np.uint8)
+    base += noise
+    return np.clip(base, 0, 255, out=base).astype(np.uint8)
 
 
 def synthetic_retrieval_dataset(n: int, seed: int = 42) -> list[dict]:
