@@ -44,6 +44,29 @@ logger = logging.getLogger("mme_tpu")
 
 SEED = 42
 
+# Transient-OOM retry at model load: right after another device client exits,
+# the server-side HBM reclaim can lag by minutes and EVERY load fails with
+# RESOURCE_EXHAUSTED (observed 2026-08-18: one back-to-back run lost 6 of 7
+# models in milliseconds). The condition self-drains, so idle and retry
+# instead of skipping the model outright.
+LOAD_RETRIES = 2
+LOAD_RETRY_BACKOFF_S = 150.0
+
+
+def _load_model_with_retry(loader, name: str):
+    for attempt in range(LOAD_RETRIES + 1):
+        try:
+            return loader()
+        except Exception as e:
+            if attempt >= LOAD_RETRIES or "RESOURCE_EXHAUSTED" not in str(e):
+                raise
+            logger.warning(
+                f"Model load for {name} hit transient device OOM ({e}) — "
+                f"idling {LOAD_RETRY_BACKOFF_S:.0f}s for memory reclaim "
+                f"(retry {attempt + 1}/{LOAD_RETRIES})"
+            )
+            time.sleep(LOAD_RETRY_BACKOFF_S)
+
 
 def parse_args(argv=None):
     p = argparse.ArgumentParser(description="Grand Slam Multimodal Benchmark V29 (Statistical) — TPU")
@@ -385,15 +408,16 @@ def main(argv=None) -> int:
                     cache = None
                 finally:
                     stager = None
-        try:
-            if args.debug_models:
-                model = load_debug_model(info, seed=args.seed)
-            elif args.arch_models:
-                from ..models.arch import load_arch_model
+        if args.debug_models:
+            loader = lambda: load_debug_model(info, seed=args.seed)
+        elif args.arch_models:
+            from ..models.arch import load_arch_model
 
-                model = load_arch_model(info.name, seed=args.seed)
-            else:
-                model = load_model(info, native_cache_dir=args.native_cache_dir)
+            loader = lambda: load_arch_model(info.name, seed=args.seed)
+        else:
+            loader = lambda: load_model(info, native_cache_dir=args.native_cache_dir)
+        try:
+            model = _load_model_with_retry(loader, info.name)
         except Exception as e:
             logger.error(f"Model load failed: {e}")
             continue

@@ -146,7 +146,10 @@ class AsyncImageStager:
     (``EncodingEngine.encode_images_streaming``); later models take the
     assembled ``DeviceImageCache`` from :meth:`wait`. The r3 full7 evidence
     spent 416-701 s in staging strictly BEFORE any encode — this hides it
-    behind model 1's encode phase."""
+    behind model 1's encode phase. Only the ≤128MB slices live on device
+    while model 1 runs; the monolithic per-geometry cache arrays are
+    assembled at the model-2 handoff in :meth:`wait` (see there for the
+    HBM math)."""
 
     def __init__(self, images: list[np.ndarray], mesh: Mesh, batch_size: int):
         import threading
@@ -175,7 +178,6 @@ class AsyncImageStager:
 
     def _run(self):
         try:
-            parts: dict[tuple[int, int], list[jax.Array]] = {}
             for (h, w), idxs in self._groups_idx.items():
                 buf = _group_buffer(self._images, idxs, h, w, self.batch_size)
                 nb = buf.shape[0]
@@ -185,21 +187,11 @@ class AsyncImageStager:
                     valid = min(len(idxs) - s * self.batch_size,
                                 dev.shape[0] * self.batch_size)
                     chunk_idxs = idxs[s * self.batch_size : s * self.batch_size + valid]
-                    parts.setdefault((h, w), []).append(dev)
                     with self._cond:
                         self._chunks.append(((h, w), chunk_idxs, dev, valid))
                         self._cond.notify_all()
-            groups = []
-            for (h, w), idxs in self._groups_idx.items():
-                p = parts[(h, w)]
-                dev = p[0] if len(p) == 1 else jnp.concatenate(p, axis=0)
-                groups.append(((h, w), idxs, dev, len(idxs)))
-            hard_sync([g[2] for g in groups])
+            hard_sync([c[2] for c in self._chunks])
             self.stage_seconds = time.perf_counter() - self._t0
-            self._cache = DeviceImageCache(
-                groups=groups, batch_size=self.batch_size,
-                n_images=self.n_images, stage_seconds=self.stage_seconds,
-            )
         except BaseException as e:  # surfaced to the consumer thread
             self._err = e
         finally:
@@ -224,10 +216,42 @@ class AsyncImageStager:
             i += 1
 
     def wait(self) -> DeviceImageCache:
-        """Block until staging completes; returns the shared device cache."""
+        """Block until staging completes; returns the shared device cache.
+
+        The per-geometry monolithic cache arrays are assembled HERE, not in
+        the staging thread: concatenating while the streaming consumer still
+        holds every slice kept TWO copies of the images in HBM for the whole
+        of model 1's encode (+4.25 GB at 5k measured, the difference between
+        the 12.62 GB overlap-on and 8.37 GB overlap-off peaks — enough to OOM
+        ColPali-first runs on a 16 GB v5e). Deferring to wait() means model 1
+        coexists with ONE copy; the concat happens at the model-2 handoff,
+        geometry by geometry, releasing each geometry's slices before the
+        next concatenation so the transient overhead is one geometry, not the
+        cache. Must not be called concurrently with an in-flight
+        :meth:`chunks` iteration (the CLI consumes chunks for model 1 and
+        only calls wait() afterwards)."""
         self._thread.join()
         if self._err is not None:
             raise self._err
+        if self._cache is None:
+            by_geom: dict[tuple[int, int], list[int]] = {}
+            for i, ((h, w), _ci, _dev, _v) in enumerate(self._chunks):
+                by_geom.setdefault((h, w), []).append(i)
+            groups = []
+            for (h, w), idxs in self._groups_idx.items():
+                pos = by_geom[(h, w)]
+                parts = [self._chunks[i][2] for i in pos]
+                dev = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
+                del parts
+                for i in pos:  # drop slice refs before the next geometry concat
+                    self._chunks[i] = None
+                groups.append(((h, w), idxs, dev, len(idxs)))
+            hard_sync([g[2] for g in groups])
+            self._chunks = []
+            self._cache = DeviceImageCache(
+                groups=groups, batch_size=self.batch_size,
+                n_images=self.n_images, stage_seconds=self.stage_seconds,
+            )
         return self._cache
 
 

@@ -158,6 +158,7 @@ def test_cli_all_models_failed_exits_nonzero(tmp_path, monkeypatch):
         raise RuntimeError("RESOURCE_EXHAUSTED (simulated)")
 
     monkeypatch.setattr(cli_main, "load_debug_model", boom)
+    monkeypatch.setattr(cli_main, "LOAD_RETRY_BACKOFF_S", 0.0)
     rc = main(
         [
             "--dataset", "synthetic", "--debug-models", "--models", "SigLIP-400M",
@@ -166,3 +167,48 @@ def test_cli_all_models_failed_exits_nonzero(tmp_path, monkeypatch):
         ]
     )
     assert rc == 1
+
+
+def test_cli_model_load_retries_transient_oom(tmp_path, monkeypatch):
+    """A RESOURCE_EXHAUSTED at model load is retried after an idle backoff
+    (server-side HBM reclaim lags a just-exited client and self-drains);
+    a non-OOM load error is NOT retried."""
+    import multimodal_embedding_tpu.cli.main as cli_main
+
+    real = cli_main.load_debug_model
+    calls = {"n": 0}
+
+    def flaky(info, seed=0):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("RESOURCE_EXHAUSTED: TPU backend error (ResourceExhausted).")
+        return real(info, seed=seed)
+
+    monkeypatch.setattr(cli_main, "load_debug_model", flaky)
+    monkeypatch.setattr(cli_main, "LOAD_RETRY_BACKOFF_S", 0.0)
+    out = tmp_path / "retry.csv"
+    rc = main(
+        [
+            "--dataset", "synthetic", "--debug-models", "--models", "SigLIP-400M",
+            "--sample-size", "24", "--bootstrap-iterations", "6",
+            "--output", str(out),
+        ]
+    )
+    assert rc == 0 and calls["n"] == 2
+    assert len(pd.read_csv(out)) == 1
+
+    calls["n"] = 0
+
+    def hard_fail(info, seed=0):
+        calls["n"] += 1
+        raise ValueError("bad checkpoint (not transient)")
+
+    monkeypatch.setattr(cli_main, "load_debug_model", hard_fail)
+    rc = main(
+        [
+            "--dataset", "synthetic", "--debug-models", "--models", "SigLIP-400M",
+            "--sample-size", "24", "--bootstrap-iterations", "6",
+            "--output", str(tmp_path / "hard.csv"),
+        ]
+    )
+    assert rc == 1 and calls["n"] == 1

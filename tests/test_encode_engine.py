@@ -73,6 +73,23 @@ def test_streaming_stager_multi_slice(setup):
     assert stager.wait().stage_seconds is not None
 
 
+def test_stager_defers_cache_assembly(setup):
+    """The monolithic per-geometry cache must NOT exist while model 1 is
+    consuming slices — assembling it early keeps a second full copy of the
+    images in HBM for model 1's whole encode (measured +4.25 GB at 5k; the
+    ColPali-first full7 OOM). wait() assembles it at the model-2 handoff and
+    drops the slice references."""
+    model, mesh, images = setup
+    stager = AsyncImageStager(images, mesh, batch_size=8)
+    list(stager.chunks())  # consume fully (staging thread finishes)
+    assert stager._cache is None  # no second copy during model 1
+    cache = stager.wait()
+    assert stager._chunks == []  # slice refs dropped after assembly
+    assert cache.n_images == len(images)
+    assert sum(g[3] for g in cache.groups) == len(images)
+    assert stager.wait() is cache  # idempotent
+
+
 def test_host_vs_device_transport_close(setup):
     """Host PIL resize vs device matmul resize differ by <=1 uint8 level per
     pixel; embeddings of a smooth model must be close."""
