@@ -47,8 +47,22 @@ def main():
             vocab_size=4096, dim=256, layers=4, heads=8, kv_heads=4,
             head_dim=32, mlp_dim=1024, tie_embeddings=True,
         )
-    params = qwen3_init(jax.random.key(0), cfg, jnp.bfloat16)
-    hard_sync(params["final_norm"])
+    # Server-side HBM reclaim lags a dead client (CLAUDE.md): the 8 GB init
+    # can hit transient RESOURCE_EXHAUSTED right after a previous run exits.
+    # Bounded idle-and-retry, same policy as cli/main._load_model_with_retry.
+    params = None
+    for attempt in range(4):
+        try:
+            params = qwen3_init(jax.random.key(0), cfg, jnp.bfloat16)
+            hard_sync(params["final_norm"])
+            break
+        except Exception as e:
+            params = None
+            if attempt >= 3 or "RESOURCE_EXHAUSTED" not in str(e):
+                raise
+            print(f"init hit transient device OOM — idling 180s for HBM "
+                  f"reclaim (retry {attempt + 1}/3)", flush=True)
+            time.sleep(180)
     n_params = sum(int(np.prod(x.shape)) for x in jax.tree.leaves(params))
     print(f"{args.size}: {n_params/1e9:.2f}B params, bf16", flush=True)
 

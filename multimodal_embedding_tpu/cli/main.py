@@ -96,9 +96,16 @@ def parse_args(argv=None):
     p.add_argument("--device-cache", action=argparse.BooleanOptionalAction, default=True,
                    help="Stage raw images to device HBM once, shared across models")
     p.add_argument("--overlap-staging", action=argparse.BooleanOptionalAction, default=True,
-                   help="Stage images in a background thread while the first "
-                        "model encodes already-staged slices (hides the "
-                        "one-time staging behind model 1's encode)")
+                   help="Stage images in a background thread overlapped with "
+                        "model 1's load + text warmup; model 1 joins staging "
+                        "BEFORE its timed encode and measures the same cached "
+                        "path as every other model")
+    p.add_argument("--streaming-encode", action=argparse.BooleanOptionalAction, default=False,
+                   help="With --overlap-staging: model 1 encodes slices as "
+                        "they land instead of joining first (lowest wall-clock "
+                        "for one-shot runs, but its timed encode measures the "
+                        "streaming path — QPS ~2x below the cached path at 5k; "
+                        "PERF.md round-5 A/B)")
     p.add_argument("--encode-passes", type=int, default=1,
                    help="Steady-state timing: run the encode phase N times "
                         "and report the median encoding_time/QPS (averages "
@@ -197,6 +204,7 @@ def run_bootstrap_benchmark(
     preprocess_impl: str = "xla",
     stager: AsyncImageStager | None = None,
     encode_passes: int = 1,
+    streaming_encode: bool = False,
 ) -> dict:
     """Encode-once / resample-many (reference main.py:478-667), on device."""
     logger.info(f"Benchmarking {model.info.name} with {n_iterations} bootstrap iterations...")
@@ -232,7 +240,26 @@ def run_bootstrap_benchmark(
             [r["captions"][0] for r in records],
             [c for r in records for c in r["captions"][:kc]],
         ]
-        if stager is not None:
+        if stager is not None and not streaming_encode:
+            # hybrid default (PERF.md round-5 overlap A/B): compile the text
+            # sweeps while uploads proceed in the background, then join
+            # staging BEFORE the timer and take the cached path — model 1's
+            # QPS measures the same encode as every other model (the
+            # streaming path measured ~2x slower per-chunk at 5k and
+            # distorted model 1's published QPS 47%)
+            engine.warmup(
+                next(iter({r["image"].shape[:2] for r in records})),
+                images=False, text_sets=text_sets,
+            )
+            cache = stager.wait()
+            stager = None
+            logger.info(
+                f"Background staging complete: {cache.n_images} images in "
+                f"{cache.stage_seconds:.1f}s (overlapped with model 1 "
+                f"load/text warmup)"
+            )
+            engine.encode_images_cached(cache)
+        elif stager is not None:
             # compile + upload the per-slice executables at the stager's
             # planned shapes while uploads proceed in the background
             engine.warmup_streaming(stager)
@@ -364,10 +391,11 @@ def main(argv=None) -> int:
     if args.device_cache:
         if args.overlap_staging:
             stager = AsyncImageStager([r["image"] for r in records], mesh, args.batch_size)
+            mode = ("model 1 encodes streaming slices" if args.streaming_encode
+                    else "model 1 joins before its timed encode")
             logger.info(
                 f"Staging {stager.n_images} raw images to device HBM in the "
-                f"background ({len(stager.slice_plan)} slices) — model 1 "
-                f"encodes streaming slices"
+                f"background ({len(stager.slice_plan)} slices) — {mode}"
             )
         else:
             cache = stage_images([r["image"] for r in records], mesh, args.batch_size)
@@ -440,6 +468,7 @@ def main(argv=None) -> int:
                     preprocess_impl=args.preprocess_impl,
                     stager=this_stager,
                     encode_passes=args.encode_passes,
+                    streaming_encode=args.streaming_encode,
                 )
             bootstrap_metrics = result.pop("_bootstrap_metrics", None)
             if bootstrap_metrics:

@@ -147,6 +147,47 @@ def test_cli_determinism(tmp_path):
     assert a.iloc[0]["_failure_analysis"] == b.iloc[0]["_failure_analysis"]
 
 
+def test_cli_staging_modes_identical_and_hybrid_stays_cached(tmp_path, monkeypatch):
+    """The three staging modes (hybrid overlap [default], pure streaming,
+    serial) must produce bit-identical metrics, and the hybrid default must
+    never time the streaming encode path — it joins staging before the timed
+    region and measures the cached path (PERF.md round-5 overlap A/B: the
+    streaming path distorted model 1's published QPS ~2x)."""
+    from multimodal_embedding_tpu.models.encode import EncodingEngine
+
+    calls: list[str] = []
+    orig = EncodingEngine.encode_images_streaming
+
+    def spy(self, stager):
+        calls.append("streaming")
+        return orig(self, stager)
+
+    monkeypatch.setattr(EncodingEngine, "encode_images_streaming", spy)
+
+    def run(extra, name):
+        out = tmp_path / f"{name}.csv"
+        rc = main(
+            [
+                "--dataset", "synthetic", "--debug-models",
+                "--models", "OpenAI-CLIP-L", "--sample-size", "32",
+                "--bootstrap-iterations", "8", "--batch-size", "16",
+                "--output", str(out),
+            ] + extra
+        )
+        assert rc == 0
+        return pd.read_csv(out)
+
+    hybrid = run(["--overlap-staging"], "hybrid")
+    assert calls == [], "hybrid default must not run the streaming encode"
+    stream = run(["--overlap-staging", "--streaming-encode"], "stream")
+    assert calls == ["streaming"], "--streaming-encode must stream model 1"
+    off = run(["--no-overlap-staging"], "off")
+
+    for col in hybrid.columns:
+        if col.endswith(("_mean", "_lower", "_upper", "_std")):
+            assert hybrid.iloc[0][col] == stream.iloc[0][col] == off.iloc[0][col], col
+
+
 def test_cli_all_models_failed_exits_nonzero(tmp_path, monkeypatch):
     """Per-model failures skip-and-continue (reference behavior), but a run
     where every model failed must not exit 0 with an empty CSV — a driver
