@@ -209,38 +209,43 @@ def qwen3_decode_step(
 
 
 def qwen3_init(key, cfg: Qwen3Config, dtype=jnp.float32) -> Params:
-    ks = jax.random.split(key, cfg.layers + 2)
+    """Random init directly at the scan-stacked [layers, ...] shapes.
 
-    def one(k):
-        kk = jax.random.split(k, 7)
-        s = 0.02
-        return {
-            "ln1": jnp.ones((cfg.dim,), dtype),
-            "attn": {
-                "q": jax.random.normal(kk[0], (cfg.dim, cfg.heads * cfg.head_dim), dtype) * s,
-                "k": jax.random.normal(kk[1], (cfg.dim, cfg.kv_heads * cfg.head_dim), dtype) * s,
-                "v": jax.random.normal(kk[2], (cfg.dim, cfg.kv_heads * cfg.head_dim), dtype) * s,
-                "o": jax.random.normal(kk[3], (cfg.heads * cfg.head_dim, cfg.dim), dtype) * s,
-                "q_norm": jnp.ones((cfg.head_dim,), dtype),
-                "k_norm": jnp.ones((cfg.head_dim,), dtype),
-            },
-            "ln2": jnp.ones((cfg.dim,), dtype),
-            "mlp": {
-                "gate": jax.random.normal(kk[4], (cfg.dim, cfg.mlp_dim), dtype) * s,
-                "up": jax.random.normal(kk[5], (cfg.dim, cfg.mlp_dim), dtype) * s,
-                "down": jax.random.normal(kk[6], (cfg.mlp_dim, cfg.dim), dtype) * s,
-            },
-        }
+    Generating per-layer trees and jnp.stack-ing them keeps TWO copies of
+    every layer weight alive at the stack point — ~15 GB transient for
+    Qwen3-4B bf16, which OOMs a 16 GB v5e chip. Stacked-shape generation
+    peaks at params + one weight transient instead."""
+    kk = jax.random.split(key, 9)
+    s = 0.02
+    L = cfg.layers
 
-    layers = [one(k) for k in ks[: cfg.layers]]
-    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
+    def w(k, *shape):
+        return jax.random.normal(k, (L, *shape), dtype) * s
+
+    stacked = {
+        "ln1": jnp.ones((L, cfg.dim), dtype),
+        "attn": {
+            "q": w(kk[0], cfg.dim, cfg.heads * cfg.head_dim),
+            "k": w(kk[1], cfg.dim, cfg.kv_heads * cfg.head_dim),
+            "v": w(kk[2], cfg.dim, cfg.kv_heads * cfg.head_dim),
+            "o": w(kk[3], cfg.heads * cfg.head_dim, cfg.dim),
+            "q_norm": jnp.ones((L, cfg.head_dim), dtype),
+            "k_norm": jnp.ones((L, cfg.head_dim), dtype),
+        },
+        "ln2": jnp.ones((L, cfg.dim), dtype),
+        "mlp": {
+            "gate": w(kk[4], cfg.dim, cfg.mlp_dim),
+            "up": w(kk[5], cfg.dim, cfg.mlp_dim),
+            "down": w(kk[6], cfg.mlp_dim, cfg.dim),
+        },
+    }
     params = {
-        "embed": jax.random.normal(ks[-2], (cfg.vocab_size, cfg.dim), dtype) * 0.02,
+        "embed": jax.random.normal(kk[7], (cfg.vocab_size, cfg.dim), dtype) * 0.02,
         "layers": stacked,
         "final_norm": jnp.ones((cfg.dim,), dtype),
     }
     if not cfg.tie_embeddings:
-        params["lm_head"] = jax.random.normal(ks[-1], (cfg.dim, cfg.vocab_size), dtype) * 0.02
+        params["lm_head"] = jax.random.normal(kk[8], (cfg.dim, cfg.vocab_size), dtype) * 0.02
     return params
 
 
