@@ -13,7 +13,8 @@ Take 6 keeps the reference reward untouched and fixes the optimization:
   * kl_beta 0.01 -> 0.12 — anchor hard to the format-pretrained base so the
     policy cannot drift out of the parse region while it learns WHICH
     decision to emit (the within-group +31 vs −14 contrast does that part).
-  * lr 2e-4 -> 1e-4, epochs 32 -> 48 — smaller destructive steps early.
+  * lr 2e-4 -> 1e-4, epochs 24 — smaller destructive steps early (epoch
+    count bounded by round-end wall clock; take 4 learned within 16).
 
 Reuses take 5's pretrained base (benchmarks/rl_demo5/base_params.npz,
 CE 5.596 -> 0.051, balanced decisions => chance accuracy by construction)
@@ -76,7 +77,7 @@ def main():
     rc = train_main(
         common + [
             "--base-params", str(base),
-            "--dataset-size", "64", "--epochs", "48",
+            "--dataset-size", "64", "--epochs", "24",
             "--num-generations", "8", "--grad-accum", "4",
             "--learning-rate", "1e-4", "--temperature", "1.0",
             "--kl-beta", "0.12", "--max-new-tokens", "40",
